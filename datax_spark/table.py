@@ -1,0 +1,342 @@
+"""SnapshotTable — a transactional, bucketed lake-table backend.
+
+On a real cluster this engine's sink is an Iceberg table driven by
+`MERGE INTO` (the Spark-native generalization of the reference's
+`writeMode` insert/replace/update trichotomy, SURVEY.md §2.2,
+[UP plugin-rdbms-util/.../writer/CommonRdbmsWriter.java]). This
+sandbox has no Iceberg jar and no network (SURVEY.md §7.3), so the
+same semantics live behind this small backend:
+
+  * data files: parquet, hash-bucketed by key → a micro-batch only
+    rewrites the buckets it touches (copy-on-write, like Iceberg's
+    bucket() partition transform). Unchanged buckets are carried
+    forward by pointer, so MERGE cost scales with the batch, not the
+    table — the property that makes this viable at 100 TB.
+  * commits: one JSON file per snapshot, created by atomic os.rename,
+    recording parent, manifest (bucket → data dir), schema (versioned,
+    evolvable), the cumulative batch-id ledger (exactly-once: replayed
+    micro-batch → no-op), per-partition lineage, and metrics. Lineage
+    lives INSIDE the commit record so a crash can never separate them
+    (SURVEY.md §7.3).
+  * reads: latest (or time-travel) snapshot, each data dir aligned to
+    the current schema (add/drop/retype evolution without rewrite).
+
+MERGE itself is pure DataFrame code: group-by key with `max_by` over
+(lsn, source-priority) — last-writer-wins with map-side partial
+aggregation, ties resolved to the existing row so a re-delivered
+event (same lsn) is a no-op. That is the late-data rule: an event
+with lsn ≤ the applied lsn for its key cannot win (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+LSN_COL = "_lsn"
+BUCKET_COL = "_bucket"
+OP_COL = "op"
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+def align_to_schema(df: DataFrame, schema: T.StructType, keep: Iterable[str] = ()) -> DataFrame:
+    """Project df onto `schema`: missing columns → NULL, extra columns
+    dropped, types cast (add/drop/retype evolution in one place)."""
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for field in schema.fields:
+        if field.name in have:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    for extra in keep:
+        if extra in have:
+            cols.append(F.col(extra))
+    return df.select(*cols)
+
+
+def bucket_expr(key_cols: list[str], num_buckets: int):
+    """Stable hash bucket of the key. On real Iceberg this is the
+    bucket(N, key) partition transform; here Spark's Murmur3 hash."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class CommitInfo:
+    version: int
+    snapshot_id: str
+    batch_id: str | None
+    skipped: bool = False  # True → batch was already committed (exactly-once no-op)
+
+
+class SnapshotTable:
+    """Transactional upsert table keyed on `key_cols`, ordered by lsn."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location
+        self._commits_dir = os.path.join(location, "_commits")
+        self._data_dir = os.path.join(location, "data")
+
+    # ---------- lifecycle ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 32,
+    ) -> "SnapshotTable":
+        t = cls(spark, location)
+        os.makedirs(t._commits_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        if t._latest_version() is not None:
+            raise ValueError(f"table already exists at {location}")
+        t._write_commit(
+            version=0,
+            record={
+                "snapshot_id": uuid.uuid4().hex[:16],
+                "parent": None,
+                "batch_id": None,
+                "batch_ids": [],
+                "schema": schema.jsonValue(),
+                "schema_version": 0,
+                "key_cols": list(key_cols),
+                "num_buckets": num_buckets,
+                "manifest": {},
+                "lineage": [],
+                "metrics": {},
+            },
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "SnapshotTable":
+        t = cls(spark, location)
+        if t._latest_version() is None:
+            raise FileNotFoundError(f"no table at {location}")
+        return t
+
+    # ---------- commit log ----------
+
+    def _latest_version(self) -> int | None:
+        if not os.path.isdir(self._commits_dir):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self._commits_dir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _read_commit(self, version: int) -> dict:
+        with open(os.path.join(self._commits_dir, f"v{version:012d}.json")) as f:
+            return json.load(f)
+
+    def _write_commit(self, version: int, record: dict) -> None:
+        record["version"] = version
+        tmp = os.path.join(self._commits_dir, f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self._commits_dir, f"v{version:012d}.json")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        if os.path.exists(final):  # single-writer assumption; fail loudly
+            os.unlink(tmp)
+            raise ConcurrentCommitError(f"commit v{version} already exists")
+        os.rename(tmp, final)  # POSIX-atomic within one directory
+
+    def current(self) -> dict:
+        v = self._latest_version()
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.location}")
+        return self._read_commit(v)
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.current()["schema"])
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.current()["key_cols"]
+
+    def committed_batch_ids(self) -> set[str]:
+        return set(self.current()["batch_ids"])
+
+    def history(self) -> list[dict]:
+        v = self._latest_version()
+        return [self._read_commit(i) for i in range(v + 1)] if v is not None else []
+
+    def lineage(self) -> list[dict]:
+        """Flattened per-partition lineage rows across all snapshots:
+        source offset range → snapshot id (BASELINE.json north_star)."""
+        rows = []
+        for c in self.history():
+            for entry in c.get("lineage", []):
+                rows.append({**entry, "snapshot_id": c["snapshot_id"], "version": c["version"]})
+        return rows
+
+    # ---------- reads ----------
+
+    def _read_manifest(self, commit: dict, buckets: list[int] | None = None) -> DataFrame:
+        schema = T.StructType.fromJson(commit["schema"])
+        full = T.StructType(schema.fields + [T.StructField(LSN_COL, T.LongType())])
+        manifest: dict = commit["manifest"]
+        items = [
+            (int(b), d)
+            for b, d in manifest.items()
+            if buckets is None or int(b) in set(buckets)
+        ]
+        if not items:
+            return self.spark.createDataFrame([], full)
+        # Data dirs written under older schema versions are aligned on
+        # read — schema evolution without rewriting files.
+        parts = []
+        for _b, d in items:
+            raw = self.spark.read.parquet(os.path.join(self.location, d))
+            parts.append(align_to_schema(raw, schema, keep=[LSN_COL]))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def snapshot(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
+        """Current (or time-travel) table state."""
+        commit = self.current() if version is None else self._read_commit(version)
+        df = self._read_manifest(commit)
+        return df if include_meta else df.drop(LSN_COL)
+
+    # ---------- schema evolution ----------
+
+    def evolve_schema(self, new_schema: T.StructType, change: str = "") -> CommitInfo:
+        """Metadata-only schema change (column add/drop/retype); no data
+        rewrite — files are aligned on read."""
+        cur = self.current()
+        v = cur["version"] + 1
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "schema": new_schema.jsonValue(),
+            "schema_version": cur["schema_version"] + 1,
+            "lineage": [],
+            "metrics": {"schema_change": change},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], None)
+
+    # ---------- MERGE ----------
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        lsn_col: str = "lsn",
+        op_col: str = OP_COL,
+        batch_id: str | None = None,
+        lineage: list[dict] | None = None,
+        metrics: dict | None = None,
+    ) -> CommitInfo:
+        """Apply a change batch: op I/U upsert, op D delete, last writer
+        (highest lsn) wins, re-delivery (lsn ≤ applied) is a no-op.
+
+        Equivalent Iceberg SQL (cluster deployment):
+          MERGE INTO t USING b ON t.repo=b.repo AND t.path=b.path
+          WHEN MATCHED AND b.lsn > t._lsn AND b.op='D' THEN DELETE
+          WHEN MATCHED AND b.lsn > t._lsn THEN UPDATE SET *
+          WHEN NOT MATCHED AND b.op!='D' THEN INSERT *
+        """
+        cur = self.current()
+        if batch_id is not None and batch_id in set(cur["batch_ids"]):
+            return CommitInfo(cur["version"], cur["snapshot_id"], batch_id, skipped=True)
+
+        schema = T.StructType.fromJson(cur["schema"])
+        key_cols = cur["key_cols"]
+        nb = cur["num_buckets"]
+
+        updates = align_to_schema(batch_df, schema, keep=[lsn_col, op_col])
+        updates = updates.withColumnRenamed(lsn_col, LSN_COL) if lsn_col != LSN_COL else updates
+        updates = updates.withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
+        # The batch drives two jobs (bucket discovery + the merge write):
+        # cache it so the source is scanned once per micro-batch.
+        updates = updates.persist()
+
+        # Which buckets does this batch touch? Tiny driver-side list
+        # (≤ num_buckets ints) — NOT a data collect.
+        affected = sorted(
+            r[0] for r in updates.select(BUCKET_COL).distinct().collect() if r[0] is not None
+        )
+        target = self._read_manifest(cur, buckets=affected).withColumn(
+            BUCKET_COL, bucket_expr(key_cols, nb)
+        )
+
+        data_cols = [f.name for f in schema.fields]
+        t_side = target.select(
+            *data_cols, LSN_COL, F.lit(None).cast("string").alias(op_col), BUCKET_COL,
+            F.lit(1).alias("_pref"),  # ties (re-delivered lsn) → existing row wins
+        )
+        u_side = updates.select(
+            *data_cols, LSN_COL, F.col(op_col), BUCKET_COL, F.lit(0).alias("_pref")
+        )
+        combined = t_side.unionByName(u_side)
+
+        # Last-writer-wins via max_by over (lsn, pref): ONE shuffle with
+        # map-side partial aggregation (beats a window, which sorts and
+        # has no partial combine) — the 100 TB-friendly plan.
+        payload = F.struct(
+            *[F.col(c) for c in data_cols], F.col(LSN_COL), F.col(op_col), F.col(BUCKET_COL)
+        )
+        winners = (
+            combined.groupBy(*key_cols)
+            .agg(F.max_by(payload, F.struct(F.col(LSN_COL), F.col("_pref"))).alias("w"))
+            .select(*[F.col(f"w.{c}").alias(c) for c in data_cols + [LSN_COL, op_col, BUCKET_COL]])
+        )
+        survivors = winners.filter(
+            (F.col(op_col).isNull()) | (F.col(op_col) != F.lit("D"))
+        ).drop(op_col)
+
+        # Rewrite only affected buckets; one file per bucket via the
+        # repartition-by-bucket + partitionBy write.
+        v = cur["version"] + 1
+        rel_dir = f"data/c{v:012d}"
+        out_dir = os.path.join(self.location, rel_dir)
+        n_parts = max(1, min(len(affected), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        (
+            survivors.repartition(n_parts, F.col(BUCKET_COL))
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        updates.unpersist()
+
+        manifest = dict(cur["manifest"])
+        written = set()
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=", 1)[1])
+                manifest[str(b)] = f"{rel_dir}/{entry}"
+                written.add(b)
+        for b in affected:  # bucket emptied entirely (all rows deleted)
+            if b not in written and str(b) in manifest:
+                del manifest[str(b)]
+
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": batch_id,
+            "batch_ids": cur["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "manifest": manifest,
+            "lineage": lineage or [],
+            "metrics": metrics or {},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], batch_id)
