@@ -43,12 +43,18 @@ _TOKENS = (
     "commit stream batch lsn upsert delta schema epoch shard salt"
 ).split()
 
-# Schema-evolution epochs (FIXTURES.md §A3). Payload columns per epoch.
+# Schema-evolution epochs (FIXTURES.md §A3): typed payload per epoch,
+# consumed by schema_evolution.EpochRegistry.
+_BASE = {"commit": "string", "lang": "string", "content": "string"}
 EPOCHS = [
-    {"epoch": 0, "change": "base", "payload": ["commit", "lang", "content"]},
-    {"epoch": 1, "change": "add stars:int", "payload": ["commit", "lang", "content", "stars"]},
-    {"epoch": 2, "change": "retype stars:int->long", "payload": ["commit", "lang", "content", "stars"]},
-    {"epoch": 3, "change": "drop lang", "payload": ["commit", "content", "stars"]},
+    {"epoch": 0, "change": "base", "columns": dict(_BASE)},
+    {"epoch": 1, "change": "add stars:int", "columns": {**_BASE, "stars": "int"}},
+    {"epoch": 2, "change": "retype stars:int->long", "columns": {**_BASE, "stars": "long"}},
+    {
+        "epoch": 3,
+        "change": "drop lang",
+        "columns": {"commit": "string", "content": "string", "stars": "long"},
+    },
 ]
 
 

@@ -1,0 +1,86 @@
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.engine import replay_wal_as_table, wal_checkpoint_run
+from datax_spark.schema_evolution import EpochRegistry
+
+
+def _hashes(table):
+    return (
+        table.snapshot()
+        .withColumn("content_sha256", F.sha2("content", 256))
+        .select("repo", "path", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def _expected_hashes(fx):
+    return (
+        fx.expected[["repo", "path", "content_sha256"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def test_batch_replay_equivalence(spark, wal_fixture, tmp_path):
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    t = replay_wal_as_table(spark, wal_fixture.wal_dir, reg, str(tmp_path / "t"), num_buckets=8)
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+    # final schema is the last epoch's (lang dropped, stars long)
+    assert "lang" not in t.snapshot().columns
+    assert dict(t.snapshot().dtypes)["stars"] == "bigint"
+
+
+def test_streaming_kill_restart_equivalence(spark, wal_fixture, tmp_path):
+    """North-rule check: stream the WAL with a mid-stream kill, resume
+    from checkpoint, assert final table ≡ batch fold via sha256."""
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    loc, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = wal_checkpoint_run(
+        spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=8, stop_after_batches=2
+    )
+    v_mid = t.current()["version"]
+    t = wal_checkpoint_run(spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=8)
+    assert t.current()["version"] > v_mid
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+    # idempotent: a third run with the drained checkpoint changes nothing
+    v = t.current()["version"]
+    t = wal_checkpoint_run(spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=8)
+    assert t.current()["version"] == v
+
+
+def test_streaming_matches_batch(spark, wal_fixture, tmp_path):
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    tb = replay_wal_as_table(spark, wal_fixture.wal_dir, reg, str(tmp_path / "b"), num_buckets=8)
+    ts = wal_checkpoint_run(
+        spark, wal_fixture.wal_dir, reg, str(tmp_path / "s"), str(tmp_path / "ck"), num_buckets=8
+    )
+    pd.testing.assert_frame_equal(_hashes(ts), _hashes(tb))
+
+
+def test_lineage_covers_all_segments(spark, wal_fixture, tmp_path):
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    t = wal_checkpoint_run(
+        spark, wal_fixture.wal_dir, reg, str(tmp_path / "t"), str(tmp_path / "ck"), num_buckets=8
+    )
+    lin = t.lineage()
+    assert len(lin) >= wal_fixture.n_segments
+    srcs = {row["source"].rsplit("/", 1)[-1] for row in lin}
+    assert {f"segment_{i:04d}.parquet" for i in range(wal_fixture.n_segments)} <= srcs
+    for row in lin:
+        assert row["min_lsn"] <= row["max_lsn"] and row["rows"] > 0 and row["snapshot_id"]
+
+
+def test_pandas_udf_sha_parity(spark, wal_fixture, tmp_path):
+    """UDF-path parity: F.sha2 (JVM) vs the Arrow pandas-UDF twin."""
+    from datax_spark.transforms import content_sha256, content_sha256_pandas
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    t = replay_wal_as_table(spark, wal_fixture.wal_dir, reg, str(tmp_path / "t"), num_buckets=8)
+    df = t.snapshot().withColumn("h1", content_sha256("content")).withColumn(
+        "h2", content_sha256_pandas()(F.col("content"))
+    )
+    assert df.filter(F.col("h1") != F.col("h2")).count() == 0

@@ -1,0 +1,149 @@
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.table import ConcurrentCommitError, SnapshotTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "content"])
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["repo", "path"], num_buckets=4
+    )
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.snapshot().collect()
+    }
+
+
+def test_insert_update_delete(spark, table):
+    table.merge(_batch(spark, [(1, "I", "r1", "a", "v1"), (2, "I", "r1", "b", "v1")]), batch_id="b0")
+    assert _state(table) == {("r1", "a"): "v1", ("r1", "b"): "v1"}
+    table.merge(_batch(spark, [(3, "U", "r1", "a", "v2"), (4, "D", "r1", "b", None)]), batch_id="b1")
+    assert _state(table) == {("r1", "a"): "v2"}
+
+
+def test_within_batch_lww_and_delete_winner(spark, table):
+    # one batch: key updated then deleted → gone; key deleted then re-inserted → present
+    table.merge(
+        _batch(
+            spark,
+            [
+                (1, "I", "r", "x", "v1"),
+                (5, "D", "r", "x", None),
+                (2, "I", "r", "y", "v1"),
+                (3, "D", "r", "y", None),
+                (4, "I", "r", "y", "v2"),
+            ],
+        )
+    )
+    assert _state(table) == {("r", "y"): "v2"}
+
+
+def test_late_event_is_noop(spark, table):
+    table.merge(_batch(spark, [(10, "U", "r", "x", "new"), (9, "I", "r", "x", "old")]))
+    table.merge(_batch(spark, [(5, "U", "r", "x", "stale"), (7, "D", "r", "x", None)]))
+    assert _state(table) == {("r", "x"): "new"}
+
+
+def test_redelivered_lsn_tie_keeps_existing(spark, table):
+    table.merge(_batch(spark, [(3, "I", "r", "x", "v1")]))
+    v = table.current()["version"]
+    table.merge(_batch(spark, [(3, "I", "r", "x", "v1")]))  # verbatim re-delivery
+    assert _state(table) == {("r", "x"): "v1"}
+    assert table.current()["version"] == v + 1  # committed, but state unchanged
+
+
+def test_exactly_once_batch_ledger(spark, table):
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]), batch_id="b7")
+    v = table.current()["version"]
+    ci = table.merge(_batch(spark, [(2, "U", "r", "x", "SHOULD_NOT_APPLY")]), batch_id="b7")
+    assert ci.skipped
+    assert table.current()["version"] == v
+    assert _state(table) == {("r", "x"): "v1"}
+
+
+def test_time_travel_and_history(spark, table):
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]), batch_id="a")
+    table.merge(_batch(spark, [(2, "U", "r", "x", "v2")]), batch_id="b")
+    assert table.snapshot(version=1).collect()[0]["content"] == "v1"
+    assert table.snapshot().collect()[0]["content"] == "v2"
+    hist = table.history()
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert hist[2]["parent"] == hist[1]["snapshot_id"]
+
+
+def test_bucket_pruning_manifest(spark, table):
+    # Buckets untouched by a batch keep their old data dirs (pointer carry-forward).
+    table.merge(_batch(spark, [(i, "I", "r", f"p{i}", "v") for i in range(40)]), batch_id="full")
+    m1 = dict(table.current()["manifest"])
+    table.merge(_batch(spark, [(100, "U", "r", "p0", "v2")]), batch_id="one")
+    m2 = dict(table.current()["manifest"])
+    changed = [b for b in m1 if m1[b] != m2.get(b)]
+    assert len(changed) == 1  # only p0's bucket was rewritten
+
+
+def test_empty_bucket_removed(spark, table):
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]))
+    assert table.current()["manifest"]
+    table.merge(_batch(spark, [(2, "D", "r", "x", None)]))
+    assert table.current()["manifest"] == {}
+    assert table.snapshot().count() == 0
+
+
+def test_schema_evolution_add_retype_drop(spark, table):
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]))
+    # add stars:int
+    s2 = T.StructType(SCHEMA.fields + [T.StructField("stars", T.IntegerType())])
+    table.evolve_schema(s2, change="add stars")
+    row = table.snapshot().collect()[0]
+    assert row["stars"] is None  # old files aligned on read
+    b = spark.createDataFrame(
+        pd.DataFrame([(2, "U", "r", "x", "v2", 7)], columns=["lsn", "op", "repo", "path", "content", "stars"])
+    )
+    table.merge(b)
+    assert table.snapshot().collect()[0]["stars"] == 7
+    # retype int → long
+    s3 = T.StructType(SCHEMA.fields + [T.StructField("stars", T.LongType())])
+    table.evolve_schema(s3, change="retype stars")
+    assert dict(table.snapshot().dtypes)["stars"] == "bigint"
+    assert table.snapshot().collect()[0]["stars"] == 7
+    # drop content
+    s4 = T.StructType([f for f in s3.fields if f.name != "content"])
+    table.evolve_schema(s4, change="drop content")
+    assert "content" not in table.snapshot().columns
+
+
+def test_concurrent_commit_rejected(spark, table, tmp_path):
+    t2 = SnapshotTable.load(spark, table.location)
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v")]))
+    cur = t2._read_commit(0)
+    with pytest.raises(ConcurrentCommitError):
+        t2._write_commit(1, dict(cur))
+
+
+def test_lineage_in_commit(spark, table):
+    table.merge(
+        _batch(spark, [(1, "I", "r", "x", "v")]),
+        batch_id="b",
+        lineage=[{"source": "seg0", "min_lsn": 1, "max_lsn": 1, "rows": 1}],
+    )
+    lin = table.lineage()
+    assert lin and lin[0]["source"] == "seg0" and "snapshot_id" in lin[0]

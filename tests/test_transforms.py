@@ -1,0 +1,90 @@
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark import transforms as tx
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    pdf = pd.DataFrame(
+        {
+            "s": ["hello world", "abc", "", None, "data-x"],
+            "num_str": ["42", "7", "oops", None, "-3"],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _col(df, c):
+    return [r[0] for r in df.select(c).collect()]
+
+
+def test_dx_substr(spark, df):
+    out = df.withColumn("o", tx.dx_substr("s", 1, 3))
+    assert _col(out, "o") == ["ell", "bc", "", None, "ata"]
+
+
+def test_dx_pad(spark, df):
+    out = df.withColumn("l", tx.dx_pad("s", "l", 5, "*")).withColumn(
+        "r", tx.dx_pad("s", "r", 5, "*")
+    )
+    rows = out.select("s", "l", "r").collect()
+    assert rows[1]["l"] == "**abc" and rows[1]["r"] == "abc**"
+    assert rows[0]["l"] == "hello"  # truncation like reference pad-to-length
+
+
+def test_dx_replace_overlay(spark, df):
+    out = df.withColumn("o", tx.dx_replace("s", 0, 5, "HOWDY"))
+    assert _col(out, "o")[0] == "HOWDY world"
+
+
+def test_dx_filter_drops_matching(spark, df):
+    out = tx.dx_filter(df, "s", "like", "%world%")
+    vals = _col(out, "s")
+    assert "hello world" not in vals
+    assert None in vals  # null predicate → record kept (reference behavior)
+    out2 = tx.dx_filter(df, "s", "=", "abc")
+    assert "abc" not in _col(out2, "s")
+
+
+def test_dx_cast_and_quarantine(spark, df):
+    casted = df.withColumn("n", tx.dx_cast("num_str", "long"))
+    ok, bad = tx.quarantine(casted, F.col("n").isNotNull() | F.col("num_str").isNull())
+    assert bad.count() == 1 and bad.collect()[0]["num_str"] == "oops"
+    assert ok.count() == 4
+
+
+def test_error_limit(spark):
+    tx.ErrorLimit(record=5).check(3, 100)
+    with pytest.raises(tx.DirtyDataLimitExceeded):
+        tx.ErrorLimit(record=2).check(3, 100)
+    with pytest.raises(tx.DirtyDataLimitExceeded):
+        tx.ErrorLimit(percentage=0.01).check(3, 100)
+
+
+def test_derive_lang(spark):
+    pdf = pd.DataFrame({"path": ["a/b.py", "x.rs", "y.md", "z.unknown"]})
+    out = spark.createDataFrame(pdf).withColumn("lang", tx.derive_lang("path"))
+    assert _col(out, "lang") == ["python", "rust", "markdown", None]
+
+
+def test_vectorized_groovy_escape_hatch(spark, df):
+    double_len = tx.vectorized("long", lambda s: s.str.len() * 2)
+    out = df.withColumn("o", double_len(F.col("s")))
+    assert _col(out, "o")[0] == 22
+
+
+def test_pipeline_fuses(spark, df):
+    p = (
+        tx.TransformPipeline()
+        .with_column("up", F.upper("s"))
+        .with_column("up3", tx.dx_substr("up", 0, 3))
+        .transform("drop_null", lambda d: d.filter(F.col("s").isNotNull()))
+    )
+    out = p.apply(df)
+    assert out.count() == 4
+    assert _col(out, "up3")[0] == "HEL"
+    # whole chain stays in one codegen stage (no Python in the plan)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
