@@ -1,0 +1,735 @@
+"""Named query registry + DuckDB oracle SQL — the driver-facing surface.
+
+Every operator family from SURVEY.md §2 (and the corpus-curation
+extensions: dedup, similarity search, text analysis, multimodal) gets
+a named query over the driver's parquet tables plus an equivalent
+ANSI-SQL oracle that DuckDB runs on the same data. Column names and
+value semantics are aligned exactly (same aliases, same rounding, same
+hash primitive sha256) so the driver's order-insensitive value-hash
+comparison passes.
+
+CDC queries derive a change stream deterministically from the `events`
+table (lsn = event_id, op from event_type, key = (repo,path) synthesized
+from user_id) and run the REAL engine — SnapshotTable + CDCEngine — into
+a temp location; the oracle is the pure-SQL last-writer-wins fold. That
+makes MERGE, exactly-once redelivery, batching invariance and lineage
+all *oracle-checked*, not just unit-tested.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import simsearch, textops
+from .engine import CDCEngine
+from .fixtures import generate_wal
+from .multimodal import decode_media
+from .schema_evolution import EpochRegistry
+from .table import SnapshotTable
+from .transforms import dx_filter, dx_pad, dx_replace, dx_substr
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# =====================================================================
+# CDC core — the engine itself, oracle-checked
+# =====================================================================
+
+_CHANGES_REGISTRY = [
+    {"epoch": 0, "change": "base",
+     "columns": {"commit_id": "string", "lang": "string", "content": "string"}}
+]
+
+# The SQL twin of events_as_changes(); WHERE-free so both sides see
+# every event. Kept as one CTE fragment reused by all CDC oracles.
+_EV_SQL = """
+  SELECT 'u' || CAST(user_id % 32 AS VARCHAR) AS repo,
+         'user/' || CAST(user_id AS VARCHAR) AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         substr(sha256(CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 8) AS commit_id,
+         event_type AS lang,
+         props AS content
+  FROM events
+"""
+
+_CDC_FOLD_SQL = f"""
+WITH ev AS ({_EV_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev)
+SELECT repo, path, commit_id, lang, content, sha256(content) AS content_sha256
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def events_as_changes(df: DataFrame) -> DataFrame:
+    """events table → CDC change set: lsn=event_id, op I/U/D from
+    event_type ('error' → D), key (repo,path) synthesized from user_id
+    (32 repos → realistic key grouping + skew)."""
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    return df.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 32).cast("string")).alias("repo"),
+        F.concat(F.lit("user/"), uid).alias("path"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.substring(F.sha2(F.concat(uid, F.lit(":"), eid), 256), 1, 8).alias("commit_id"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+        F.col("ts"),
+    )
+
+
+def _fresh_table(spark: SparkSession, registry: EpochRegistry, buckets: int = 16) -> SnapshotTable:
+    loc = tempfile.mkdtemp(prefix="datax_q_")
+    return SnapshotTable.create(
+        spark, os.path.join(loc, "t"), registry.schema_for(0),
+        key_cols=registry.key_cols, num_buckets=buckets,
+    )
+
+
+def _snapshot_with_sha(table: SnapshotTable) -> DataFrame:
+    return table.snapshot().select(
+        "repo", "path", "commit_id", "lang", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+@query("cdc_replay_events", _CDC_FOLD_SQL)
+def cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-engine single-batch replay: events → change set → MERGE
+    into a fresh SnapshotTable → final state. Oracle = SQL LWW fold."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    engine.apply_batch(events_as_changes(load(spark, sf_dir, "events")), batch_id="replay")
+    return _snapshot_with_sha(table)
+
+
+@query("cdc_merge_incremental", _CDC_FOLD_SQL)
+def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two lsn-ordered micro-batches + a verbatim REDELIVERY of batch 2
+    (same batch_id → exactly-once no-op). Result must equal the
+    single-pass fold — batching invariance + idempotence, oracle-checked."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+    engine.apply_batch(changes.filter(F.col("lsn") < mid), batch_id="b1")
+    engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    ci = engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    assert ci.skipped, "redelivered batch must be an exactly-once no-op"
+    return _snapshot_with_sha(table)
+
+
+@query(
+    "cdc_lww_dedup",
+    """
+WITH w AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+FROM w WHERE rn = 1
+""",
+)
+def cdc_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch last-writer-wins dedup via max_by — ONE shuffle with
+    map-side partial aggregation (no window sort; SURVEY.md §2.5)."""
+    ev = load(spark, sf_dir, "events")
+    payload = F.struct("event_id", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, F.col("event_id")).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.event_id").alias("last_event_id"),
+            F.col("w.event_type").alias("last_type"),
+            F.col("w.value").alias("last_value"),
+        )
+    )
+
+
+@query(
+    "cdc_lineage",
+    "SELECT min(event_id) AS min_lsn, max(event_id) AS max_lsn, count(*) AS n_rows FROM events",
+)
+def cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage (source offset range → snapshot), recorded
+    atomically inside the MERGE commit; aggregated here for the oracle."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    engine.apply_batch(events_as_changes(load(spark, sf_dir, "events")), batch_id="lin")
+    rows = table.lineage()
+    agg = {
+        "min_lsn": min(r["min_lsn"] for r in rows),
+        "max_lsn": max(r["max_lsn"] for r in rows),
+        "n_rows": sum(r["rows"] for r in rows),
+    }
+    return spark.createDataFrame(
+        [(agg["min_lsn"], agg["max_lsn"], agg["n_rows"])],
+        "min_lsn long, max_lsn long, n_rows long",
+    )
+
+
+@query("schema_evolution_replay")  # rows-only: input is a generated WAL, not an sf table
+def schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live column add/retype/drop across epochs (SURVEY.md §2, north
+    rule): replay the deterministic fixture WAL through the engine;
+    pytest asserts equality vs the fixture's expected fold — here the
+    driver gets a stable rows/schema check."""
+    out = tempfile.mkdtemp(prefix="datax_sev_")
+    fx = generate_wal(out, n_keys=60, n_events=400, n_segments=4, with_schema_evolution=True)
+    registry = EpochRegistry.from_json(fx.schema_epochs_path)
+    table = SnapshotTable.create(
+        spark, os.path.join(out, "t"), registry.schema_for(0),
+        key_cols=registry.key_cols, num_buckets=8,
+    )
+    CDCEngine(spark, table, registry).replay_batch(fx.wal_dir)
+    return table.snapshot().select(
+        "repo", "path", F.col("commit").alias("commit_id"), "stars",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+# =====================================================================
+# Transformers / dirty data (SURVEY.md §2.3, §2.8)
+# =====================================================================
+
+
+@query(
+    "transformer_chain",
+    """
+SELECT doc_id,
+       substr(text, 1, 12) AS text_prefix,
+       lpad(source, 8, '0') AS source_padded,
+       'SRC' || substr(source, 4) AS source_replaced
+FROM documents WHERE NOT (lang = 'zh')
+""",
+)
+def transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dx_filter → dx_substr → dx_pad → dx_replace, all fused by
+    Catalyst into one codegen stage."""
+    docs = load(spark, sf_dir, "documents")
+    docs = dx_filter(docs, "lang", "=", "zh")
+    return docs.select(
+        "doc_id",
+        dx_substr("text", 0, 12).alias("text_prefix"),
+        dx_pad("source", "l", 8, "0").alias("source_padded"),
+        dx_replace("source", 0, 3, "SRC").alias("source_replaced"),
+    )
+
+
+@query(
+    "dirty_quarantine",
+    """
+WITH t AS (SELECT event_type,
+                  try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k
+           FROM events)
+SELECT event_type,
+       count(*) FILTER (WHERE k IS NOT NULL AND k <= 90) AS n_clean,
+       count(*) FILTER (WHERE k IS NULL OR k > 90) AS n_dirty
+FROM t GROUP BY event_type
+""",
+)
+def dirty_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data side-output counts: JSON field extraction + lenient
+    cast; a record is dirty when the cast fails or violates k<=90 —
+    the TaskPluginCollector/errorLimit model, SQL-only."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    ok = k.isNotNull() & (k <= 90)
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(ok, 1)).alias("n_clean"),
+        F.count(F.when(~F.coalesce(ok, F.lit(False)), 1)).alias("n_dirty"),
+    )
+
+
+# =====================================================================
+# Relational core: agg / join / window / set ops / sort-limit
+# =====================================================================
+
+
+@query(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_quantity < 50
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — partial-agg-friendly groupBy;
+    the filter is pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 50)
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "join_broadcast_revenue",
+    """
+SELECT r_name, n_name,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions (nation/region/
+    customer are small dims; the fact side never shuffles for the join)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "skew_salted_join",
+    """
+SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-key join for hot keys (north rule): the unique-keyed dim
+    side is exploded ×8 salts, the skewed fact side picks a salt by
+    hash — identical result to the plain join, but hot keys spread
+    over 8 partitions. (AQE skew-join stays on as the safety net.)"""
+    n_salt = 8
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    )
+    return (
+        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "window_top_orders",
+    """
+WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM w WHERE rank <= 3
+""",
+)
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the engine's one window shape
+    (SURVEY.md §2.6), deterministic tie-break on the unique key."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@query(
+    "setop_purchasers_no_errors",
+    """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def setop_purchasers_no_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.subtract(erroring)
+
+
+@query(
+    "sort_limit_topk",
+    """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + single merge), never a full sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# =====================================================================
+# Deduplication suite (training-data pipeline ops)
+# =====================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textops.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+_STOPWORD_SQL = "['" + "','".join(textops.STOPWORDS) + "']"
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+WITH base AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tok FROM documents),
+b2 AS (SELECT doc_id, lang, tok, len(tok) AS n_tok FROM base),
+ex AS (SELECT doc_id, lang, n_tok, unnest(tok) AS t FROM b2),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_tok AS na, b.n_tok AS nb, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.t = b.t AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b, round(n_inter / (na + nb - n_inter), 4) AS jaccard
+FROM inter WHERE round(n_inter / (na + nb - n_inter), 4) >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs, blocked by lang (at 100 TB the
+    blocking key bounds the candidate explosion)."""
+    return textops.jaccard_pairs(
+        load(spark, sf_dir, "documents"), group_cols=["lang"], threshold=0.5
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+WITH shingle AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
+                               s -> substr(text, s, 8))) AS g
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, band, min(sha256(CAST(band AS VARCHAR) || ':' || g)) AS bucket
+  FROM shingle, (SELECT unnest(range(0, 4)) AS band)
+  GROUP BY doc_id, band
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: char-8-gram shingles (stride 4),
+    4 bands, sha256-derived min-hashes — engine-portable by
+    construction. One uniform shuffle on (band, bucket)."""
+    return textops.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_bands=4, k=8, stride=4
+    )
+
+
+@query(
+    "dedup_simhash",
+    f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+h AS (SELECT doc_id, sha256(t) AS hx FROM tok),
+bits AS (
+  SELECT doc_id, b,
+         CASE WHEN strpos('0123456789abcdef', substr(hx, b + 1, 1)) - 1 >= 8
+              THEN 1 ELSE -1 END AS vote
+  FROM h, (SELECT unnest(range(0, {textops.SIMHASH_BITS})) AS b)
+),
+votes AS (SELECT doc_id, b, sum(vote) AS v FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.simhash("text").alias("simhash"))
+
+
+# =====================================================================
+# Text analysis suite
+# =====================================================================
+
+
+@query(
+    "text_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_STOPWORD_SQL}, x))) AS n_sw
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+             + 0.5 * (1.0 - abs(n_sw / CAST(n_tokens AS DOUBLE) - 0.2) / 0.8), 4) AS quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.quality_score("text").alias("quality"),
+    ).select("doc_id", "n_tokens", "quality")
+
+
+def _marker_sql(lang: str) -> str:
+    lst = "['" + "','".join(textops.LANG_MARKERS[lang]) + "']"
+    return f"len(list_filter(string_split(text, ' '), x -> list_contains({lst}, x)))"
+
+
+@query(
+    "lang_id_ngram",
+    f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         {_marker_sql('de')} AS cnt_de, {_marker_sql('en')} AS cnt_en,
+         {_marker_sql('es')} AS cnt_es, {_marker_sql('fr')} AS cnt_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(cnt_de, cnt_en, cnt_es, cnt_fr) = 0 THEN 'unk'
+            WHEN cnt_de >= cnt_en AND cnt_de >= cnt_es AND cnt_de >= cnt_fr THEN 'de'
+            WHEN cnt_en >= cnt_es AND cnt_en >= cnt_fr THEN 'en'
+            WHEN cnt_es >= cnt_fr THEN 'es'
+            ELSE 'fr' END AS lang_guess
+FROM c
+""",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", textops.lang_id("text").alias("lang_guess"))
+
+
+@query(
+    "token_count_bpe",
+    """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_bpe
+FROM documents
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens_ws"),
+        textops.bpe_token_estimate("n_chars").alias("n_tokens_bpe"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
+z AS (SELECT doc_id, unnest(ch) AS s, unnest(range(0, len(ch))) AS i FROM c)
+SELECT doc_id,
+       CAST(sum(ascii(s) * CAST(power(31, i % 8) AS BIGINT)) % {textops.FP_MOD} AS BIGINT)
+         AS fingerprint
+FROM z GROUP BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", textops.doc_fingerprint("text").alias("fingerprint"))
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_COS_SQL = (
+    "list_sum(list_transform(list_zip(qv, cv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    "    * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+      FROM q, c WHERE neighbor_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for 10 query vectors — broadcast
+    queries, map-side similarity, one shuffle for the top-k window."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_lsh_buckets",
+    """
+WITH planes AS (
+  SELECT b, d,
+         strpos('0123456789abcdef',
+                substr(sha256('p' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+           - 1 - 7.5 AS w
+  FROM (SELECT unnest(range(0, 8)) AS b), (SELECT unnest(range(0, 64)) AS d)
+),
+comp AS (
+  SELECT e.vec_id, p.b, sum(p.w * CAST(e.embedding[p.d + 1] AS DOUBLE)) AS proj
+  FROM embeddings e, planes p GROUP BY 1, 2
+)
+SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+FROM comp GROUP BY vec_id
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment (the ANN scale path): 8 sha256-derived
+    hyperplanes → 256 buckets; computed map-side, no shuffle at all."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", simsearch.lsh_bucket("embedding", 8, 64).alias("bucket"))
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+
+@query(
+    "multimodal_decode_meta",
+    """
+WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(n % 64 + 1 AS INTEGER) AS width,
+       CAST((n * 7) % 48 + 1 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE n % 5 + 1 END AS INTEGER) AS n_frames,
+       sha256(text) AS sha
+FROM t
+""",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → typed metadata via Arrow-batched
+    mapInPandas (real Spark plumbing, deterministic fake codec —
+    multimodal.py documents the real-kernel swap point)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("video")).alias(
+            "media_type"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+    )
+    return decode_media(docs, blob_col="blob", media_type_col="media_type", id_cols=["doc_id"])
+
+
+# =====================================================================
+# Structured Streaming surface
+# =====================================================================
+
+
+@query(
+    "stream_windowed_counts",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation: readStream file tail →
+    1-day event-time windows → complete-mode memory sink, drained with
+    availableNow. The oracle is the equivalent batch GROUP BY."""
+    import uuid
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    name = f"swc_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

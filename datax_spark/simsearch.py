@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and a random-
+hyperplane (sign-LSH) bucketed variant as the scale path: at 100 TB
+you first bucket by LSH signature (one map-side pass + one uniform
+shuffle), then run exact top-k only within buckets.
+
+All arithmetic is done in double via built-in higher-order functions
+(zip_with / aggregate) — JVM-side, no UDFs — and the pseudo-random
+hyperplanes are derived from sha256 so the DuckDB oracle can generate
+bit-identical planes (no engine-specific RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# ------------------------------------------------------------- primitives
+
+
+def as_double(vec: str | Column) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i — left-to-right aggregate, deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ------------------------------------------------------ brute-force top-k
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    The query side is broadcast (it is small by definition); the corpus
+    is scanned once, similarity computed map-side, then one shuffle on
+    query_id for the per-query top-k window. Self-matches excluded.
+    """
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = df.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w_rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    )
+    return (
+        scored.withColumn("rank", w_rank)
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+# --------------------------------------------------------------- sign-LSH
+
+
+def plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-7.5, +7.5]:
+    first hex nibble of sha256('p<plane>_<dim>') minus 7.5. Importable
+    by tests; the SQL twin is `strpos('0123456789abcdef', substr(
+    sha256(...),1,1)) - 1 - 7.5`."""
+    import hashlib
+
+    nibble = int(hashlib.sha256(f"p{plane}_{dim}".encode()).hexdigest()[0], 16)
+    return nibble - 7.5
+
+
+def lsh_bucket(vec_col: str | Column, n_planes: int = 8, n_dims: int = 64) -> Column:
+    """Sign-LSH bucket id: bit b = 1 iff Σ_d w(b,d)·v_d > 0, with the
+    sha256-derived weights above. Closed-form column expression —
+    identical in the DuckDB oracle."""
+    v = as_double(vec_col)
+    out = F.lit(0).cast("long")
+    for b in range(n_planes):
+        w = F.array(*[F.lit(plane_component(b, d)) for d in range(n_dims)])
+        proj = dot(w, v)
+        out = out + F.when(proj > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; the
+    exact cosine window runs only within buckets. At scale this turns
+    an O(N·Q) cross product into one uniform hash-bucket join."""
+    bq = query_df.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    bc = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    scored = (
+        bc.join(F.broadcast(bq), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

@@ -1,0 +1,271 @@
+"""Text-analysis + deduplication operators for training-data pipelines.
+
+The reference engine moves records; a modern large-scale ingest
+pipeline must also *curate* them. These operators extend the engine
+beyond the reference's transformer set (SURVEY.md §2.3) with the
+standard corpus-curation suite: exact dedup, MinHash-LSH near-dedup,
+SimHash, n-gram Jaccard, language ID, quality scoring, token counting
+and document fingerprinting.
+
+Design rules (the same ones as the engine core):
+  * everything is a Catalyst column expression or a built-in
+    explode/groupBy — JVM-side, whole-stage-codegen, no Python in the
+    hot path;
+  * every operator is oracle-checkable: the hash primitive is sha2/
+    sha256 (identical in Spark and DuckDB), never Spark's murmur3
+    `hash()` (engine-specific);
+  * shuffles are explicit and minimal: dedup = one groupBy on the
+    fingerprint; LSH = one explode + one groupBy per band + one
+    self-join on bucket.
+
+At 100 TB these all scale linearly: fingerprints/signatures are
+computed map-side; the only shuffles are keyed by hash values, which
+are uniform by construction (no skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ------------------------------------------------------------------ basics
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "le", "la", "der", "el"]
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization — array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(n_chars: str | Column) -> Column:
+    """BPE-ish token-count estimate: ~4 chars/token (ceil)."""
+    c = F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    return F.ceil(c / F.lit(4.0)).cast("long")
+
+
+def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Count of stopword tokens via filter() on the token array —
+    no explode, no shuffle."""
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards reasonable length
+    and a natural-language-like stopword ratio. Same closed form as
+    the DuckDB oracle (queries.py)."""
+    n_tok = token_count(text_col).cast("double")
+    sw_ratio = stopword_count(text_col).cast("double") / n_tok
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.lit(1.0) - F.abs(sw_ratio - F.lit(0.2)) / F.lit(0.8)
+    return F.round(F.lit(0.5) * len_score + F.lit(0.5) * sw_score, 4)
+
+
+# ------------------------------------------------------------- language ID
+
+# Per-language marker words (n-gram heuristic, unigram order). A doc's
+# guessed language = argmax marker-hit count, ties → 'en' < 'de' < ...
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "was"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "los", "que", "es", "por"],
+}
+
+
+def lang_marker_count(text_col: str | Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text_col: str | Column) -> Column:
+    """argmax over LANG_MARKERS counts; all-zero → 'unk'. Deterministic
+    tie-break: first language in sorted(LANG_MARKERS) order wins."""
+    scored = None
+    best_cnt = None
+    for lang in sorted(LANG_MARKERS):
+        cnt = lang_marker_count(text_col, lang)
+        if scored is None:
+            scored, best_cnt = F.lit(lang), cnt
+        else:
+            scored = F.when(cnt > best_cnt, F.lit(lang)).otherwise(scored)
+            best_cnt = F.when(cnt > best_cnt, cnt).otherwise(best_cnt)
+    return F.when(best_cnt > 0, scored).otherwise(F.lit("unk"))
+
+
+# --------------------------------------------------------- fingerprinting
+
+FP_MOD = 1_000_000_007
+
+
+def doc_fingerprint(text_col: str | Column) -> Column:
+    """Rolling polynomial fingerprint over characters:
+    sum(ascii(ch) * 31^(pos mod 8)) mod 1e9+7.
+
+    Weights cycle with period 8 so every term fits int64
+    (255 * 31^7 ≈ 7e12; x 1e4 chars ≈ 7e16 < 2^63). Pure int
+    arithmetic → bit-identical in any engine.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.split(c, "")
+    weighted = F.transform(
+        chars,
+        lambda ch, i: F.ascii(ch).cast("long")
+        * F.pow(F.lit(31.0), (i % F.lit(8)).cast("double")).cast("long"),
+    )
+    return (
+        F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % F.lit(FP_MOD)
+    )
+
+
+def content_hash(col: str | Column) -> Column:
+    """Exact-dedup key: sha256 of the raw text (driver-oracle-stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one hash-groupBy on sha256(text). Returns one row
+    per distinct content: (content_sha, keep_id = min id, n_copies).
+    Map-side partial agg; shuffle key is uniform → no skew at 100 TB.
+    """
+    return (
+        df.select(content_hash(text_col).alias("content_sha"), F.col(id_col))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+def char_shingles(text_col: str | Column, k: int = 8, stride: int = 4) -> Column:
+    """Character k-gram shingles at the given stride — array<string>.
+    transform() over a sequence of start offsets; no explode yet."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(k - 1), F.lit(1)), F.lit(stride))
+    return F.transform(starts, lambda s: F.substring(c, s, k))
+
+
+def minhash_signature(text_col: str | Column, n_hashes: int = 4, k: int = 8,
+                      stride: int = 4) -> Column:
+    """MinHash signature: array of n_hashes values, hash_i(doc) =
+    min over shingles of sha2(i || ':' || shingle). Lexicographic min
+    of hex strings ≡ numeric min of the 256-bit values, and is
+    identical across engines."""
+    sh = char_shingles(text_col, k=k, stride=stride)
+    sig = [
+        F.array_min(F.transform(sh, lambda s: F.sha2(F.concat(F.lit(f"{i}:"), s), 256)))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ANY band's minhash bucket.
+    One row per (band, bucket) collision pair, deduped to (id_a, id_b).
+
+    Plan shape: map-side signature compute → explode to n_bands rows →
+    ONE shuffle on (band, bucket) via self-join → distinct pairs.
+    Bucket keys are 256-bit hashes → uniform, skew-free.
+    """
+    sig = (
+        df.select(F.col(id_col), minhash_signature(text_col, n_bands, k, stride).alias("sig"))
+        .select(id_col, F.posexplode("sig").alias("band", "bucket"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 16
+_HEXPOS = "0123456789abcdef"
+
+
+def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
+    """bits-bit SimHash over whitespace tokens.
+
+    Per token, bit i's vote comes from hex digit i of sha256(token):
+    nibble ≥ 8 → +1 else −1; the doc's bit i is 1 iff the summed vote
+    is > 0. All closed-form int arithmetic — oracle-identical.
+    """
+    tok = tokens(text_col)
+    h = F.transform(tok, lambda t: F.sha2(t, 256))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        nibble = F.transform(
+            h, lambda x: F.instr(F.lit(_HEXPOS), F.substring(x, i + 1, 1)) - F.lit(1)
+        )
+        vote = F.aggregate(
+            nibble,
+            F.lit(0).cast("long"),
+            lambda acc, n: acc + F.when(n >= 8, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(vote > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
+    return out
+
+
+# -------------------------------------------------------- n-gram Jaccard
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Word-set Jaccard similarity for candidate pairs within the same
+    group (blocking keys bound the pair explosion — at 100 TB you
+    never all-pairs; group_cols or an LSH bucket supplies candidates).
+
+    |A∩B| via explode-distinct-token join + count; |A∪B| = |A|+|B|−∩.
+    """
+    group_cols = group_cols or []
+    base = df.select(
+        F.col(id_col), *group_cols, F.array_distinct(tokens(text_col)).alias("tok")
+    ).withColumn("n_tok", F.size("tok"))
+    ex = base.select(id_col, *group_cols, "n_tok", F.explode("tok").alias("t"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.t") == F.col("b.t"))
+    for g in group_cols:
+        cond = cond & (F.col(f"a.{g}") == F.col(f"b.{g}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
