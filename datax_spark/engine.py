@@ -62,16 +62,24 @@ class CDCEngine:
                 skipped=True,
             )
         t0 = time.monotonic()
-        # Capture source-file lineage BEFORE caching (input_file_name
-        # resolves at scan time, not from the in-memory cache).
         if "_source_file" not in batch_df.columns:
             batch_df = batch_df.withColumn("_source_file", F.input_file_name())
-        batch_df = self.transform.apply(batch_df).persist()
 
-        # One small aggregation drives epoch detection, lineage and
-        # metrics together (single extra pass over the cached batch).
+        # ONE small aggregation drives epoch detection, lineage,
+        # metrics AND affected-bucket discovery together, on the RAW
+        # batch (pre-transform — the expensive transform runs only in
+        # the merge-write pass). Two total scans per micro-batch:
+        # this stats pass + the merge write. No caching: both passes
+        # re-read the (columnar, splittable) source, which is cheaper
+        # than materializing the batch.
+        cur = self.table.current()
+        bucket = F.pmod(
+            F.hash(*[F.col(c) for c in cur["key_cols"]]), F.lit(cur["num_buckets"])
+        ).cast("int")
         stats = (
-            batch_df.groupBy(F.col("_source_file").alias("source"))
+            batch_df.groupBy(
+                F.col("_source_file").alias("source"), bucket.alias("_b")
+            )
             .agg(
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
@@ -83,20 +91,21 @@ class CDCEngine:
             .collect()
         )
         if not stats:
-            batch_df.unpersist()
-            cur = self.table.current()
             return CommitInfo(cur["version"], cur["snapshot_id"], batch_id, skipped=True)
-        lineage = [
-            {
-                "source": r["source"],
-                "min_lsn": r["min_lsn"],
-                "max_lsn": r["max_lsn"],
-                "rows": r["rows"],
-            }
-            for r in stats
-        ]
+        by_source: dict[str, dict] = {}
+        for r in stats:
+            s = by_source.setdefault(
+                r["source"], {"source": r["source"], "min_lsn": r["min_lsn"],
+                              "max_lsn": r["max_lsn"], "rows": 0}
+            )
+            s["min_lsn"] = min(s["min_lsn"], r["min_lsn"])
+            s["max_lsn"] = max(s["max_lsn"], r["max_lsn"])
+            s["rows"] += r["rows"]
+        lineage = list(by_source.values())
+        affected = sorted({r["_b"] for r in stats if r["_b"] is not None})
         batch_epoch = max(r["max_epoch"] for r in stats)
         n_rows = sum(r["rows"] for r in stats)
+        batch_df = self.transform.apply(batch_df)
 
         # Live column add/drop/retype: walk epochs up to the batch's max.
         while self._applied_epoch < min(batch_epoch, self.registry.max_epoch):
@@ -113,13 +122,13 @@ class CDCEngine:
             batch_id=batch_id,
             lineage=lineage,
             metrics={},
+            affected_buckets=affected,
         )
         wall = time.monotonic() - t0
-        # metrics were not known before merge; patch rows/sec into the
-        # already-atomic commit is NOT allowed — instead we recorded
-        # lineage atomically and log throughput here.
+        # metrics were not known before merge; patching rows/sec into
+        # the already-atomic commit is NOT allowed — instead we record
+        # lineage atomically and expose throughput here.
         self._last_metrics = {"rows": n_rows, "wall_sec": wall, "rows_per_sec": n_rows / wall}
-        batch_df.unpersist()
         return ci
 
     # --------------------------------------------------------- streaming

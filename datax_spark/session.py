@@ -47,7 +47,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DATAX_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # v2 commit: task-side output renames (parallel) instead of a
+        # serial driver-side job-commit walk — the v1 walk is a serial
+        # bottleneck for bucketed writes (64 dirs × N task files).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
+    local_dirs = os.environ.get("DATAX_SPARK_LOCAL_DIR")
+    if local_dirs:
+        builder = builder.config("spark.local.dir", local_dirs)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

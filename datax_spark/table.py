@@ -191,17 +191,31 @@ class SnapshotTable:
         full = T.StructType(schema.fields + [T.StructField(LSN_COL, T.LongType())])
         manifest: dict = commit["manifest"]
         items = [
-            (int(b), d)
-            for b, d in manifest.items()
+            (int(b), e)
+            for b, e in manifest.items()
             if buckets is None or int(b) in set(buckets)
         ]
         if not items:
-            return self.spark.createDataFrame([], full)
-        # Data dirs written under older schema versions are aligned on
-        # read — schema evolution without rewriting files.
+            # range(0)-backed empty relation, NOT createDataFrame([]):
+            # the latter is an ExistingRDD scan that blocks AQE and
+            # whole-stage codegen for every plan unioned with it.
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in full.fields]
+            )
+        # ONE spark.read per schema version, not one per bucket: all
+        # dirs written under the same schema version share a file
+        # schema, so they batch into a single multi-path scan (a
+        # 64-bucket table is 1 scan, not 64 unioned scans — the
+        # difference between O(1) and O(buckets) planning per batch).
+        # Dirs written under older schema versions are aligned on read
+        # — schema evolution without rewriting files.
+        by_ver: dict[int, list[str]] = {}
+        for _b, entry in items:
+            d, sv = (entry, -1) if isinstance(entry, str) else (entry[0], entry[1])
+            by_ver.setdefault(sv, []).append(os.path.join(self.location, d))
         parts = []
-        for _b, d in items:
-            raw = self.spark.read.parquet(os.path.join(self.location, d))
+        for _sv, paths in sorted(by_ver.items()):
+            raw = self.spark.read.parquet(*paths)
             parts.append(align_to_schema(raw, schema, keep=[LSN_COL]))
         df = parts[0]
         for p in parts[1:]:
@@ -244,6 +258,7 @@ class SnapshotTable:
         batch_id: str | None = None,
         lineage: list[dict] | None = None,
         metrics: dict | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> CommitInfo:
         """Apply a change batch: op I/U upsert, op D delete, last writer
         (highest lsn) wins, re-delivery (lsn ≤ applied) is a no-op.
@@ -265,15 +280,17 @@ class SnapshotTable:
         updates = align_to_schema(batch_df, schema, keep=[lsn_col, op_col])
         updates = updates.withColumnRenamed(lsn_col, LSN_COL) if lsn_col != LSN_COL else updates
         updates = updates.withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
-        # The batch drives two jobs (bucket discovery + the merge write):
-        # cache it so the source is scanned once per micro-batch.
-        updates = updates.persist()
 
         # Which buckets does this batch touch? Tiny driver-side list
-        # (≤ num_buckets ints) — NOT a data collect.
-        affected = sorted(
-            r[0] for r in updates.select(BUCKET_COL).distinct().collect() if r[0] is not None
-        )
+        # (≤ num_buckets ints) — NOT a data collect. The engine passes
+        # it in (piggybacked on its lineage-stats pass) so the batch is
+        # scanned exactly twice total: stats + the merge write.
+        if affected_buckets is not None:
+            affected = sorted(set(affected_buckets))
+        else:
+            affected = sorted(
+                r[0] for r in updates.select(BUCKET_COL).distinct().collect() if r[0] is not None
+            )
         target = self._read_manifest(cur, buckets=affected).withColumn(
             BUCKET_COL, bucket_expr(key_cols, nb)
         )
@@ -303,26 +320,27 @@ class SnapshotTable:
             (F.col(op_col).isNull()) | (F.col(op_col) != F.lit("D"))
         ).drop(op_col)
 
-        # Rewrite only affected buckets; one file per bucket via the
-        # repartition-by-bucket + partitionBy write.
+        # Rewrite only affected buckets. Partition count = bucket count
+        # (not spark.sql.shuffle.partitions): each write task owns ~one
+        # bucket dir, so file count is constant regardless of cluster
+        # size — file-creation overhead must not grow with cores.
         v = cur["version"] + 1
         rel_dir = f"data/c{v:012d}"
         out_dir = os.path.join(self.location, rel_dir)
-        n_parts = max(1, min(len(affected), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        n_parts = max(1, len(affected))
         (
             survivors.repartition(n_parts, F.col(BUCKET_COL))
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        updates.unpersist()
 
         manifest = dict(cur["manifest"])
         written = set()
         for entry in os.listdir(out_dir):
             if entry.startswith(f"{BUCKET_COL}="):
                 b = int(entry.split("=", 1)[1])
-                manifest[str(b)] = f"{rel_dir}/{entry}"
+                manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
                 written.add(b)
         for b in affected:  # bucket emptied entirely (all rows deleted)
             if b not in written and str(b) in manifest:
