@@ -265,6 +265,43 @@ def dirty_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "job_spec_pipeline",
+    """
+SELECT doc_id,
+       substr(text, 1, 16) AS text,
+       lpad(source, 8, '*') AS source,
+       sha256(substr(text, 1, 16)) AS text_sha
+FROM documents WHERE lang = 'en'
+""",
+)
+def job_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataX-style job-JSON surface (job.py) end-to-end: reader
+    with projection+predicate → transformer chain → memwriter."""
+    from .job import run_job
+
+    r = run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {
+                "path": os.path.join(sf_dir, "documents.parquet"),
+                "column": ["doc_id", "text", "source"],
+                "where": "lang = 'en'",
+            }},
+            "transformer": [
+                {"name": "dx_substr",
+                 "parameter": {"columnName": "text", "startIndex": 0, "length": 16}},
+                {"name": "dx_pad",
+                 "parameter": {"columnName": "source", "padType": "l",
+                               "padLength": 8, "padString": "*"}},
+                {"name": "dx_sql",
+                 "parameter": {"expr": "sha2(text, 256)", "as": "text_sha"}},
+            ],
+            "writer": {"name": "memwriter", "parameter": {"view": "jobq_out"}},
+        }]}
+    })
+    return r.output
+
+
 # =====================================================================
 # Relational core: agg / join / window / set ops / sort-limit
 # =====================================================================
@@ -627,6 +664,23 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, map-side similarity, one shuffle for the top-k window."""
     emb = load(spark, sf_dir, "embeddings")
     return simsearch.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS qv FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS cv FROM embeddings),
+s AS (SELECT id_a, id_b, round({_COS_SQL}, 4) AS cosine
+      FROM a, b WHERE id_a < id_b)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline;
+    lsh_bucket blocking is the documented scale path)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.cosine_dedup_pairs(emb, threshold=0.4)
 
 
 @query(

@@ -134,3 +134,24 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a, b) with
+    round(cosine, 4) >= threshold, a < b — the exact-answer baseline
+    (oracle-checkable). At corpus scale, swap the self cross-join for
+    lsh_bucket() blocking: same per-pair math, candidates restricted
+    to shared buckets."""
+    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -184,18 +184,28 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col), minhash_signature(text_col, n_bands, k, stride).alias("sig"))
         .select(id_col, F.posexplode("sig").alias("band", "bucket"))
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    # Pair enumeration via groupBy + in-bucket cross of the collected
+    # id list, NOT a self-join: a self-join would recompute the whole
+    # shingle+minhash pipeline for both sides. One shuffle on
+    # (band, bucket); bucket membership lists are small by construction
+    # (only near-identical docs collide), so collect_list is bounded.
+    buckets = sig.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    ).filter(F.size("ids") > 1)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 # ---------------------------------------------------------------- SimHash

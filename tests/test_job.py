@@ -1,0 +1,156 @@
+"""DataX-style job-spec API: readers, transformer chain, writers,
+writeMode semantics, errorLimit — the migration surface for a
+reference user's job JSON."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.job import JobConfigError, run_job
+from datax_spark.transforms import DirtyDataLimitExceeded
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parquet_to_mem_with_transformers(spark):
+    spec = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "parquetreader",
+                        "parameter": {
+                            "path": f"{SF}/documents.parquet",
+                            "column": ["doc_id", "text", "lang", "source"],
+                            "where": "lang = 'en'",
+                        },
+                    },
+                    "transformer": [
+                        {"name": "dx_substr",
+                         "parameter": {"columnName": "text", "startIndex": 0, "length": 10}},
+                        {"name": "dx_pad",
+                         "parameter": {"columnName": "source", "padType": "l",
+                                       "padLength": 8, "padString": "0"}},
+                        {"name": "dx_filter",
+                         "parameter": {"columnName": "doc_id", "operator": ">", "value": 10**9}},
+                        {"name": "dx_sql",
+                         "parameter": {"expr": "sha2(text, 256)", "as": "text_sha"}},
+                    ],
+                    "writer": {"name": "memwriter", "parameter": {"view": "t_out"}},
+                }
+            ],
+            "setting": {"speed": {"channel": 4}},
+        }
+    }
+    r = run_job(spark, spec)
+    out = spark.table("t_out")
+    assert r.rows_read > 0 and r.rows_written == out.count()
+    row = out.first()
+    assert len(row["text"]) <= 10
+    assert len(row["source"]) == 8
+    assert len(row["text_sha"]) == 64
+    # dx_filter drops records MATCHING the predicate (doc_id > 1e9 → none match)
+    assert out.count() == r.rows_read or out.count() > 0
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    csv_dir = str(tmp_path / "csv")
+    out_dir = str(tmp_path / "out")
+    run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "parquetreader",
+                       "parameter": {"path": f"{SF}/region.parquet"}},
+            "writer": {"name": "csvwriter",
+                       "parameter": {"path": csv_dir, "fieldDelimiter": "|",
+                                     "header": True, "writeMode": "truncate"}},
+        }]}
+    })
+    r = run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "csvreader",
+                       "parameter": {"path": csv_dir, "fieldDelimiter": "|",
+                                     "skipHeader": True}},
+            "writer": {"name": "memwriter", "parameter": {"view": "csv_back"}},
+        }]}
+    })
+    orig = spark.read.parquet(f"{SF}/region.parquet")
+    back = spark.table("csv_back")
+    assert back.count() == orig.count()
+    assert sorted(back.columns) == sorted(orig.columns)
+
+
+def test_streamreader_synthetic(spark):
+    r = run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "streamreader", "parameter": {
+                "sliceRecordCount": 50,
+                "column": [
+                    {"value": "hello", "type": "string"},
+                    {"random": "0, 9", "type": "long"},
+                ],
+            }},
+            "writer": {"name": "memwriter", "parameter": {"view": "syn"}},
+        }]}
+    })
+    out = spark.table("syn")
+    assert r.rows_read == 50
+    vals = [row["col_1"] for row in out.collect()]
+    assert all(0 <= v <= 9 for v in vals)
+    assert out.where(F.col("col_0") != "hello").count() == 0
+
+
+def test_snapshotwriter_modes(spark, tmp_path):
+    loc = str(tmp_path / "snap")
+    docs = f"{SF}/documents.parquet"
+    base = {
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": docs, "column": ["doc_id", "text"]}},
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "upsertKey": ["doc_id"],
+                                 "writeMode": "update", "numBuckets": 4}},
+    }
+    r1 = run_job(spark, {"job": {"content": [base]}})
+    n = spark.read.parquet(docs).count()
+    assert r1.rows_written == n and r1.dirty_records == 0
+
+    # update again → upsert, same row count, no dirty
+    r2 = run_job(spark, {"job": {"content": [base]}})
+    assert r2.dirty_records == 0
+
+    # insert mode: every key already exists → all dirty, none written
+    ins = {**base, "writer": {"name": "snapshotwriter", "parameter": {
+        **base["writer"]["parameter"], "writeMode": "insert"}}}
+    r3 = run_job(spark, {"job": {"content": [ins]}})
+    assert r3.dirty_records == n and r3.rows_written == 0
+
+    from datax_spark.table import SnapshotTable
+    assert SnapshotTable.load(spark, loc).snapshot().count() == n
+
+
+def test_error_limit_aborts(spark, tmp_path):
+    loc = str(tmp_path / "snap2")
+    docs = f"{SF}/documents.parquet"
+    base = {
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": docs, "column": ["doc_id", "text"]}},
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "upsertKey": ["doc_id"],
+                                 "writeMode": "update", "numBuckets": 4}},
+    }
+    run_job(spark, {"job": {"content": [base]}})
+    ins = {**base, "writer": {"name": "snapshotwriter", "parameter": {
+        **base["writer"]["parameter"], "writeMode": "insert"}}}
+    with pytest.raises(DirtyDataLimitExceeded):
+        run_job(spark, {"job": {"content": [ins],
+                                "setting": {"errorLimit": {"record": 0}}}})
+
+
+def test_unknown_plugin_rejected(spark):
+    with pytest.raises(JobConfigError):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "nosuchreader", "parameter": {"path": "/x"}},
+            "writer": {"name": "memwriter", "parameter": {}},
+        }]}})
