@@ -1,0 +1,189 @@
+"""IcebergTable — the cluster deployment backend.
+
+`SnapshotTable` (table.py) reproduces Iceberg-shaped semantics for this
+jar-less sandbox; on a real cluster the same engine drives an actual
+Iceberg catalog through this class, which exposes the identical
+surface: merge / snapshot / evolve_schema / committed_batch_ids /
+lineage. `CDCEngine` accepts either (duck-typed).
+
+Exactly-once here rides on Iceberg's own transactional commit: the
+batch-id ledger and lineage land in snapshot summary properties via
+`snapshot-property.` write options, so a crash can never separate data
+from its provenance — the same invariant SnapshotTable keeps by
+embedding lineage in its commit record.
+
+Requires `spark.sql.catalog.<cat>` configured with the
+iceberg-spark-runtime jar (`available()` reports this). No jar ships
+in this sandbox, so this module is exercised on clusters, not by the
+local test suite; the shared engine tests run against SnapshotTable.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .table import CommitInfo
+
+BATCH_LEDGER_PROP = "datax.batch-ids"
+LINEAGE_PROP = "datax.lineage"
+
+
+class IcebergTable:
+    def __init__(self, spark: SparkSession, identifier: str, key_cols: list[str]):
+        self.spark = spark
+        self.identifier = identifier
+        self.key_cols = list(key_cols)
+
+    # ---------- availability ----------
+
+    @staticmethod
+    def available(spark: SparkSession, catalog: str = "spark_catalog") -> bool:
+        try:
+            impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        except Exception:
+            impl = None
+        return impl is not None and "iceberg" in str(impl).lower()
+
+    # ---------- lifecycle ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        identifier: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        num_buckets: int = 64,
+    ) -> "IcebergTable":
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        bucket_col = key_cols[-1]
+        spark.sql(
+            f"CREATE TABLE {identifier} ({cols}, `_lsn` bigint) USING iceberg "
+            f"PARTITIONED BY (bucket({num_buckets}, `{bucket_col}`)) "
+            f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+            f"'write.distribution-mode'='hash', 'format-version'='2')"
+        )
+        return cls(spark, identifier, key_cols)
+
+    # ---------- reads / metadata ----------
+
+    @property
+    def schema(self) -> T.StructType:
+        fields = [f for f in self.spark.table(self.identifier).schema.fields if f.name != "_lsn"]
+        return T.StructType(fields)
+
+    def snapshot(self, include_meta: bool = False) -> DataFrame:
+        df = self.spark.table(self.identifier)
+        return df if include_meta else df.drop("_lsn")
+
+    def current(self) -> dict:
+        row = (
+            self.spark.sql(f"SELECT * FROM {self.identifier}.snapshots ORDER BY committed_at DESC LIMIT 1")
+            .collect()
+        )
+        if not row:
+            return {"version": 0, "snapshot_id": None, "batch_ids": [],
+                    "key_cols": self.key_cols, "num_buckets": 0,
+                    "schema": self.schema.jsonValue()}
+        s = row[0]
+        summary = dict(s["summary"] or {})
+        return {
+            "version": s["snapshot_id"],
+            "snapshot_id": str(s["snapshot_id"]),
+            "batch_ids": json.loads(summary.get(BATCH_LEDGER_PROP, "[]")),
+            "key_cols": self.key_cols,
+            "num_buckets": 0,
+            "schema": self.schema.jsonValue(),
+        }
+
+    def committed_batch_ids(self) -> set[str]:
+        ids: set[str] = set()
+        for s in self.spark.sql(f"SELECT summary FROM {self.identifier}.snapshots").collect():
+            ids.update(json.loads(dict(s["summary"] or {}).get(BATCH_LEDGER_PROP, "[]")))
+        return ids
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for s in self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self.identifier}.snapshots ORDER BY committed_at"
+        ).collect():
+            for entry in json.loads(dict(s["summary"] or {}).get(LINEAGE_PROP, "[]")):
+                rows.append({**entry, "snapshot_id": str(s["snapshot_id"])})
+        return rows
+
+    # ---------- schema evolution ----------
+
+    def evolve_schema(self, new_schema: T.StructType, change: str = "") -> CommitInfo:
+        """Iceberg DDL per delta vs the current schema (add / drop /
+        retype are all metadata-only in format v2)."""
+        cur = {f.name: f.dataType for f in self.schema.fields}
+        new = {f.name: f.dataType for f in new_schema.fields}
+        for name, dt in new.items():
+            if name not in cur:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} ADD COLUMN `{name}` {dt.simpleString()}"
+                )
+            elif cur[name] != dt:
+                self.spark.sql(
+                    f"ALTER TABLE {self.identifier} ALTER COLUMN `{name}` TYPE {dt.simpleString()}"
+                )
+        for name in cur:
+            if name not in new:
+                self.spark.sql(f"ALTER TABLE {self.identifier} DROP COLUMN `{name}`")
+        c = self.current()
+        return CommitInfo(c["version"], c["snapshot_id"], None)
+
+    # ---------- MERGE ----------
+
+    def merge(
+        self,
+        batch_df: DataFrame,
+        lsn_col: str = "lsn",
+        op_col: str = "op",
+        batch_id: str | None = None,
+        lineage: list[dict] | None = None,
+        metrics: dict | None = None,
+        affected_buckets: list[int] | None = None,
+    ) -> CommitInfo:
+        """Same contract as SnapshotTable.merge, planned by Iceberg:
+        in-batch LWW pre-dedup (map-side max_by) then one MERGE INTO —
+        Iceberg plans the equi-join against only the matching bucket
+        partitions (its own form of our affected-bucket pruning)."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            c = self.current()
+            return CommitInfo(c["version"], c["snapshot_id"], batch_id, skipped=True)
+
+        data_cols = [f.name for f in self.schema.fields]
+        key_cols = self.key_cols
+        payload = F.struct(*[F.col(c) for c in data_cols], F.col(lsn_col), F.col(op_col))
+        winners = (
+            batch_df.groupBy(*key_cols)
+            .agg(F.max_by(payload, F.col(lsn_col)).alias("w"))
+            .select(*[F.col(f"w.{c}").alias(c) for c in data_cols + [lsn_col, op_col]])
+        )
+        winners.createOrReplaceTempView("_datax_merge_src")
+
+        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+        set_cols = ", ".join(f"t.`{c}` = s.`{c}`" for c in data_cols if c not in key_cols)
+        ins_cols = ", ".join(f"`{c}`" for c in data_cols + ["_lsn"])
+        ins_vals = ", ".join(f"s.`{c}`" for c in data_cols) + f", s.`{lsn_col}`"
+        ledger = json.dumps(sorted(self.committed_batch_ids() | ({batch_id} if batch_id else set())))
+        props = {
+            BATCH_LEDGER_PROP: ledger,
+            LINEAGE_PROP: json.dumps(lineage or []),
+            "datax.metrics": json.dumps(metrics or {}),
+        }
+        for k, v in props.items():
+            self.spark.conf.set(f"spark.wap.snapshot-property.{k}", v)
+        self.spark.sql(
+            f"""
+            MERGE INTO {self.identifier} t USING _datax_merge_src s ON {on}
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` AND s.`{op_col}` = 'D' THEN DELETE
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` THEN UPDATE SET {set_cols}, t.`_lsn` = s.`{lsn_col}`
+            WHEN NOT MATCHED AND s.`{op_col}` <> 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            """
+        )
+        c = self.current()
+        return CommitInfo(c["version"], c["snapshot_id"], batch_id)

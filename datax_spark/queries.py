@@ -787,3 +787,53 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "stream_stateful_audit",
+    """
+WITH o AS (SELECT user_id, event_id,
+                  lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+           FROM events)
+SELECT user_id,
+       count(*) AS n_events,
+       max(event_id) AS max_lsn,
+       count(*) FILTER (WHERE prev IS NOT NULL AND event_id > prev + 1) AS n_gaps,
+       count(*) FILTER (WHERE event_id = prev) AS n_redelivered
+FROM o GROUP BY user_id
+""",
+)
+def stream_stateful_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key lsn continuity audit — gaps and re-deliveries tracked in
+    cross-batch group state. Oracle = the equivalent batch window/lag
+    fold (single drained run ≡ one pass)."""
+    import uuid
+
+    from .streaming import stateful_lsn_audit
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    name = f"audit_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    audited = stateful_lsn_audit(stream, key_col="user_id", lsn_col="event_id")
+    q = (
+        audited.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink appends one row per key per batch; the audit's
+    # running totals make the LAST row per key the current state.
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), F.desc("max_lsn"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

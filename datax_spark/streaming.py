@@ -1,0 +1,81 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The engine's core apply loop is stateless per micro-batch (state lives
+in the table); some CDC-operational concerns genuinely need streaming
+state. The canonical one: auditing the change stream itself — per-key
+lsn continuity across micro-batches (gaps = missed events upstream,
+re-deliveries = at-least-once duplicates). State must survive batch
+boundaries, so this is Spark's arbitrary-stateful-processing surface,
+Arrow-batched via pandas (no per-row Python in the hot loop: each call
+processes a whole group's batch slice as a pandas DataFrame).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def audit_schemas(key_col: str, key_type: str = "long"):
+    out = T.StructType([
+        T.StructField(key_col, T._parse_datatype_string(key_type)),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("n_redelivered", T.LongType()),
+    ])
+    state = T.StructType([
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_lsn", T.LongType()),
+        T.StructField("n_gaps", T.LongType()),
+        T.StructField("n_redelivered", T.LongType()),
+    ])
+    return out, state
+
+
+def stateful_lsn_audit(
+    df: DataFrame,
+    key_col: str = "user_id",
+    lsn_col: str = "event_id",
+    key_type: str = "long",
+) -> DataFrame:
+    """Per-key lsn continuity audit with cross-batch state.
+
+    Within each micro-batch a key's events are processed in lsn order;
+    against the carried state: lsn ≤ max_lsn seen → re-delivery
+    (counted, not a gap); lsn > max_lsn + 1 → gap (when state exists —
+    the key's very first event opens the sequence). Emits the running
+    totals per key per batch (update mode).
+    """
+    out_schema, state_schema = audit_schemas(key_col, key_type)
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            n_events, max_lsn, n_gaps, n_re = state.get
+        else:
+            n_events, max_lsn, n_gaps, n_re = 0, None, 0, 0
+        for pdf in pdfs:
+            for lsn in sorted(pdf[lsn_col].tolist()):
+                lsn = int(lsn)
+                if max_lsn is None:
+                    n_events += 1
+                    max_lsn = lsn
+                elif lsn <= max_lsn:
+                    n_re += 1
+                else:
+                    if lsn > max_lsn + 1:
+                        n_gaps += 1
+                    n_events += 1
+                    max_lsn = lsn
+        state.update((n_events, max_lsn, n_gaps, n_re))
+        yield pd.DataFrame(
+            [{key_col: key[0], "n_events": n_events, "max_lsn": max_lsn,
+              "n_gaps": n_gaps, "n_redelivered": n_re}]
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
