@@ -140,17 +140,17 @@ class CDCEngine:
         max_files_per_trigger: int = 1,
         available_now: bool = True,
         on_batch=None,
+        wal_format: str = "parquet",
     ):
         """Tail the WAL directory. available_now=True drains everything
         currently present then stops (bounded replay); restart with the
-        same checkpoint resumes exactly where it left off."""
-        wal_schema = self.registry.wal_schema()
-        stream = (
-            self.spark.readStream.schema(wal_schema)
-            .option("maxFilesPerTrigger", str(max_files_per_trigger))
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(wal_dir)
+        same checkpoint resumes exactly where it left off. The WAL may
+        be parquet (default), json lines, or csv — binlog shippers
+        commonly emit json (e.g. Debezium-style dumps)."""
+        stream = self._wal_reader(self.spark.readStream, wal_format).option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
         )
+        stream = getattr(stream, wal_format)(wal_dir)
 
         def _apply(df: DataFrame, epoch_id: int) -> None:
             ci = self.apply_batch(df, batch_id=f"stream-{epoch_id}")
@@ -166,14 +166,27 @@ class CDCEngine:
         q = writer.start()
         return q
 
-    def replay_batch(self, wal_dir: str, batch_id: str = "replay") -> CommitInfo:
+    def _wal_reader(self, reader, wal_format: str):
+        """Shared reader config per WAL format: explicit schema always
+        (schema inference on a stream is nondeterministic), timestamps
+        parsed for text formats."""
+        if wal_format not in ("parquet", "json", "csv"):
+            raise ValueError(f"unsupported WAL format {wal_format!r}")
+        reader = reader.schema(self.registry.wal_schema()).option(
+            "pathGlobFilter", f"*.{wal_format}"
+        )
+        if wal_format == "csv":
+            reader = reader.option("header", "true").option(
+                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            )
+        return reader
+
+    def replay_batch(
+        self, wal_dir: str, batch_id: str = "replay", wal_format: str = "parquet"
+    ) -> CommitInfo:
         """Single-pass batch fold of the whole WAL — the reference
         semantics (one DataX job run) used by the equivalence test."""
-        df = (
-            self.spark.read.schema(self.registry.wal_schema())
-            .option("pathGlobFilter", "*.parquet")
-            .parquet(wal_dir)
-        )
+        df = getattr(self._wal_reader(self.spark.read, wal_format), wal_format)(wal_dir)
         return self.apply_batch(df, batch_id=batch_id)
 
 

@@ -379,18 +379,14 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted-key join for hot keys (north rule): the unique-keyed dim
     side is exploded ×8 salts, the skewed fact side picks a salt by
     hash — identical result to the plain join, but hot keys spread
-    over 8 partitions. (AQE skew-join stays on as the safety net.)"""
-    n_salt = 8
-    ev = load(spark, sf_dir, "events").withColumn(
-        "_salt", F.pmod(F.hash("event_id"), F.lit(n_salt))
-    )
-    cust = (
-        load(spark, sf_dir, "customer")
-        .select("c_custkey", "c_mktsegment")
-        .withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-    )
+    over 8 partitions (skew.py; AQE skew-join stays on as the safety
+    net)."""
+    from .skew import salted_join
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        ev.join(cust, (ev.user_id == cust.c_custkey) & (ev._salt == cust._salt))
+        salted_join(ev, cust, on=["c_custkey"], n_salt=8, fact_salt_from="event_id")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

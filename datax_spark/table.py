@@ -172,8 +172,16 @@ class SnapshotTable:
         return set(self.current()["batch_ids"])
 
     def history(self) -> list[dict]:
+        """All RETAINED commit records, oldest first (expired snapshots
+        are absent — see expire_snapshots)."""
         v = self._latest_version()
-        return [self._read_commit(i) for i in range(v + 1)] if v is not None else []
+        if v is None:
+            return []
+        out = []
+        for i in range(v + 1):
+            if os.path.exists(os.path.join(self._commits_dir, f"v{i:012d}.json")):
+                out.append(self._read_commit(i))
+        return out
 
     def lineage(self) -> list[dict]:
         """Flattened per-partition lineage rows across all snapshots:
@@ -183,6 +191,50 @@ class SnapshotTable:
             for entry in c.get("lineage", []):
                 rows.append({**entry, "snapshot_id": c["snapshot_id"], "version": c["version"]})
         return rows
+
+    # ---------- maintenance ----------
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop commit records older than the newest `keep_last`,
+        preserving the cumulative batch-id ledger and lineage (both are
+        carried forward in every commit, so history pruning never
+        weakens exactly-once or provenance). Time travel to expired
+        versions stops working — Iceberg's expire_snapshots contract."""
+        v = self._latest_version()
+        if v is None:
+            return []
+        cutoff = max(0, v - keep_last + 1)
+        expired = []
+        for i in range(cutoff):
+            p = os.path.join(self._commits_dir, f"v{i:012d}.json")
+            if os.path.exists(p):
+                os.unlink(p)
+                expired.append(i)
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs no longer referenced by any retained
+        snapshot's manifest. Copy-on-write bucket rewrites strand the
+        superseded bucket dirs; at 10^10-event scale unreferenced data
+        is unbounded growth, so vacuum (after expire_snapshots) is part
+        of normal operation. Never touches referenced dirs."""
+        import shutil
+
+        live: set[str] = set()
+        for c in self.history():
+            for entry in c.get("manifest", {}).values():
+                d = entry if isinstance(entry, str) else entry[0]
+                # manifest paths look like data/c<version>/<bucket>=N;
+                # the unit of reclamation is the commit dir.
+                live.add(d.split("/")[1])
+        removed = []
+        if not os.path.isdir(self._data_dir):
+            return removed
+        for entry in sorted(os.listdir(self._data_dir)):
+            if entry not in live:
+                shutil.rmtree(os.path.join(self._data_dir, entry))
+                removed.append(entry)
+        return removed
 
     # ---------- reads ----------
 

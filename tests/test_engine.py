@@ -84,3 +84,42 @@ def test_pandas_udf_sha_parity(spark, wal_fixture, tmp_path):
         "h2", content_sha256_pandas()(F.col("content"))
     )
     assert df.filter(F.col("h1") != F.col("h2")).count() == 0
+
+
+def test_json_wal_replay_equivalence(spark, wal_fixture, tmp_path):
+    """The same change stream shipped as a JSON-lines WAL must fold to
+    the same final state as the parquet WAL."""
+    import os
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    # transcode the fixture WAL to json lines, preserving segment order
+    jdir = str(tmp_path / "wal_json")
+    src = (
+        spark.read.schema(reg.wal_schema())
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wal_fixture.wal_dir)
+    )
+    src.coalesce(1).write.json(jdir)
+    for f in os.listdir(jdir):  # file source globs *.json
+        if f.startswith("part-") and not f.endswith(".json"):
+            os.rename(os.path.join(jdir, f), os.path.join(jdir, f + ".json"))
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tj"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    CDCEngine(spark, t, reg).replay_batch(jdir, wal_format="json")
+    got = (
+        t.snapshot().select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    import pandas as pd
+    exp = (
+        pd.read_parquet(os.path.join(wal_fixture.expected_dir, "final_hashes.parquet"))
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)

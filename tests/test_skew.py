@@ -1,0 +1,75 @@
+"""Skew mitigation: salted join correctness + partition balance on a
+Zipf-hot key distribution (SURVEY.md §5 item 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datax_spark.skew import explode_salt, hot_keys, salted_join, with_salt
+
+N_SALT = 8
+
+
+def _skewed_fact(spark, n=20_000):
+    """~50% of rows on one hot key, rest uniform over 100 keys."""
+    return spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(100)))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+def _dim(spark):
+    return spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    plain = fact.join(dim, on=["k"]).groupBy("k", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    salted = salted_join(fact, dim, on=["k"], n_salt=N_SALT, fact_salt_from="v").groupBy(
+        "k", "name"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_hot_key_detection(spark):
+    fact = _skewed_fact(spark)
+    hot = hot_keys(fact, ["k"], threshold_frac=0.1)
+    assert hot == [(0,)]
+
+
+def test_salting_balances_partitions(spark):
+    """After keying the shuffle on (k, salt), no partition may hold a
+    grossly disproportionate share: the hot key's 50% mass must spread
+    across ~N_SALT partitions."""
+    fact = with_salt(_skewed_fact(spark), N_SALT, from_col="v")
+    parts = (
+        fact.repartition(16, "k", "_salt")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = sorted(r["count"] for r in parts)
+    total = sum(counts)
+    # unsalted, one partition would hold >50%; salted, the worst
+    # partition carries at most ~(50%/N_SALT + uniform share) ≈ 10%
+    assert max(counts) < 0.2 * total, counts
+
+    unsalted = (
+        _skewed_fact(spark).repartition(16, "k")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count().collect()
+    )
+    assert max(r["count"] for r in unsalted) > 0.45 * total, "fixture must actually be skewed"
+
+
+def test_explode_salt_replicates_dim(spark):
+    d = explode_salt(_dim(spark), N_SALT)
+    assert d.count() == 100 * N_SALT
+    assert d.select("_salt").distinct().count() == N_SALT

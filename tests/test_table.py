@@ -147,3 +147,45 @@ def test_lineage_in_commit(spark, table):
     )
     lin = table.lineage()
     assert lin and lin[0]["source"] == "seg0" and "snapshot_id" in lin[0]
+
+
+def test_expire_and_vacuum(spark, tmp_path):
+    """Copy-on-write strands superseded bucket dirs; expire+vacuum
+    reclaims them without touching live data or the batch ledger."""
+    import os
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "tv")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+    for i in range(3):
+        batch = spark.range(20).select(
+            F.lit("r").alias("repo"),
+            F.concat(F.lit("p"), F.col("id")).alias("path"),
+            F.concat(F.lit(f"v{i}_"), F.col("id")).alias("content"),
+            (F.col("id") + F.lit(i * 100)).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        t.merge(batch, batch_id=f"b{i}")
+    before = t.snapshot().collect()
+    data_dirs = set(os.listdir(os.path.join(loc, "data")))
+    assert len(data_dirs) == 3  # one commit dir per merge
+
+    expired = t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()
+    assert expired and removed, "older commits and their dirs must be reclaimed"
+
+    t2 = SnapshotTable.load(spark, loc)
+    after = t2.snapshot().collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # ledger survives expiry → exactly-once still holds
+    assert t2.committed_batch_ids() == {"b0", "b1", "b2"}
+    ci = t2.merge(spark.range(1).select(
+        F.lit("r").alias("repo"), F.lit("p0").alias("path"),
+        F.lit("x").alias("content"), F.lit(999).alias("lsn"), F.lit("U").alias("op")),
+        batch_id="b1")
+    assert ci.skipped
