@@ -212,6 +212,89 @@ def schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LWW_ORACLE = """
+WITH w AS (SELECT user_id, event_id, event_type, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+           FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value
+FROM w WHERE rn = 1
+"""
+
+
+@query("cdc_lww_dedup_pandas", _LWW_ORACLE)
+def cdc_lww_dedup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas group-wise LWW dedup — the Arrow-batched UDF twin
+    of the max_by plan (the reference's ComplexTransformer SPI shape,
+    SURVEY.md §2.10). Same oracle as cdc_lww_dedup: both paths must
+    produce identical results."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+
+    def last_writer(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.loc[[pdf["event_id"].idxmax()]]
+        return row.rename(
+            columns={"event_id": "last_event_id", "event_type": "last_type",
+                     "value": "last_value"}
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        last_writer,
+        "user_id long, last_event_id long, last_type string, last_value double",
+    )
+
+
+@query(
+    "udf_sha_parity",
+    """
+SELECT doc_id, sha256(text) AS sha_sql, sha256(text) AS sha_udf
+FROM documents
+""",
+)
+def udf_sha_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF path vs JVM SQL path for the engine's
+    per-row invariant: both sha256 implementations must agree on every
+    row (BASELINE.json: sha2 engine-side in the hot path, UDF twin for
+    parity proof)."""
+    from .transforms import content_sha256, content_sha256_pandas
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        content_sha256("text").alias("sha_sql"),
+        content_sha256_pandas()(F.col("text")).alias("sha_udf"),
+    )
+
+
+@query(
+    "typed_column_casts",
+    """
+SELECT doc_id,
+       CAST(doc_id AS VARCHAR) AS id_str,
+       try_cast(substr(text, 1, 2) AS BIGINT) AS bad_long,
+       CAST(n_chars AS DOUBLE) AS n_double,
+       CAST(n_chars % 2 = 0 AS BOOLEAN) AS is_even,
+       try_cast(CAST(n_chars AS VARCHAR) AS BIGINT) AS roundtrip_long
+FROM documents
+""",
+)
+def typed_column_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's typed-Column lazy-cast matrix (SURVEY.md §1.1,
+    Column.asLong/asString/asDouble/asBoolean): Spark casts engine-side;
+    unparseable input → NULL via try_cast (→ quarantine), never a crash."""
+    from .transforms import dx_cast
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("doc_id").cast("string").alias("id_str"),
+        dx_cast(F.substring("text", 1, 2), "long").alias("bad_long"),
+        F.col("n_chars").cast("double").alias("n_double"),
+        (F.col("n_chars") % 2 == 0).alias("is_even"),
+        dx_cast(F.col("n_chars").cast("string"), "long").alias("roundtrip_long"),
+    )
+
+
 # =====================================================================
 # Transformers / dirty data (SURVEY.md §2.3, §2.8)
 # =====================================================================
