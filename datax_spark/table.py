@@ -212,6 +212,47 @@ class SnapshotTable:
                 expired.append(i)
         return expired
 
+    def rebucket(self, new_num_buckets: int) -> CommitInfo:
+        """Rewrite the table into a new bucket count (one transactional
+        commit). Operational lever for growth: start small, rebucket
+        when per-bucket size crosses the rewrite-cost sweet spot — at
+        10^10 rows a 64-bucket layout would make every MERGE rewrite
+        ~1/64th of the table, so production uses thousands of buckets;
+        this migrates layout without downtime (readers keep resolving
+        the last committed snapshot)."""
+        cur = self.current()
+        if new_num_buckets == cur["num_buckets"]:
+            return CommitInfo(cur["version"], cur["snapshot_id"], None, skipped=True)
+        df = self._read_manifest(cur)  # full table incl. LSN_COL
+        key_cols = cur["key_cols"]
+        v = cur["version"] + 1
+        rel_dir = f"data/c{v:012d}"
+        out_dir = os.path.join(self.location, rel_dir)
+        (
+            df.withColumn(BUCKET_COL, bucket_expr(key_cols, new_num_buckets))
+            .repartition(new_num_buckets, F.col(BUCKET_COL))
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        manifest = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=", 1)[1])
+                manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "num_buckets": new_num_buckets,
+            "manifest": manifest,
+            "lineage": [],
+            "metrics": {"rebucket": f"{cur['num_buckets']}->{new_num_buckets}"},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], None)
+
     def vacuum(self) -> list[str]:
         """Delete data dirs no longer referenced by any retained
         snapshot's manifest. Copy-on-write bucket rewrites strand the

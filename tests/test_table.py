@@ -189,3 +189,41 @@ def test_expire_and_vacuum(spark, tmp_path):
         F.lit("x").alias("content"), F.lit(999).alias("lsn"), F.lit("U").alias("op")),
         batch_id="b1")
     assert ci.skipped
+
+
+def test_rebucket_preserves_state_and_ledger(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "rb")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+    batch = spark.range(50).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    t.merge(batch, batch_id="b0")
+    before = sorted(map(tuple, t.snapshot().collect()))
+
+    ci = t.rebucket(16)
+    assert not ci.skipped and t.current()["num_buckets"] == 16
+    assert sorted(map(tuple, t.snapshot().collect())) == before
+    assert t.committed_batch_ids() == {"b0"}
+
+    # merges keep working against the new layout, exactly-once intact
+    up = spark.range(5).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.lit("new").alias("content"), (F.col("id") + 100).alias("lsn"),
+        F.lit("U").alias("op"))
+    t.merge(up, batch_id="b1")
+    assert t.snapshot().filter(F.col("content") == "new").count() == 5
+    assert t.merge(up, batch_id="b1").skipped
+    # old layout reclaimable
+    t.expire_snapshots(keep_last=1)
+    removed = t.vacuum()
+    assert removed
+    assert t.snapshot().count() == 50
