@@ -226,7 +226,7 @@ class SnapshotTable:
         df = self._read_manifest(cur)  # full table incl. LSN_COL
         key_cols = cur["key_cols"]
         v = cur["version"] + 1
-        rel_dir = f"data/c{v:012d}"
+        rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.location, rel_dir)
         (
             df.withColumn(BUCKET_COL, bucket_expr(key_cols, new_num_buckets))
@@ -320,6 +320,25 @@ class SnapshotTable:
         commit = self.current() if version is None else self._read_commit(version)
         df = self._read_manifest(commit)
         return df if include_meta else df.drop(LSN_COL)
+
+    def lookup(self, key: dict) -> DataFrame:
+        """Point lookup by full primary key: hashes the key to its
+        bucket and scans ONLY that bucket's files — 1/num_buckets of
+        the table regardless of size (rows inside are sorted by key,
+        so parquet row-group min/max stats prune further). This is the
+        read path the bucketed layout exists for."""
+        cur = self.current()
+        key_cols = cur["key_cols"]
+        if set(key) != set(key_cols):
+            raise ValueError(f"lookup needs the full key {key_cols}, got {sorted(key)}")
+        row = self.spark.range(1).select(
+            *[F.lit(key[c]).alias(c) for c in key_cols]
+        ).select(bucket_expr(key_cols, cur["num_buckets"]).alias("b")).collect()
+        bucket = row[0]["b"]
+        df = self._read_manifest(cur, buckets=[bucket]).drop(LSN_COL)
+        for c in key_cols:
+            df = df.filter(F.col(c) == key[c])
+        return df
 
     # ---------- schema evolution ----------
 
@@ -417,12 +436,16 @@ class SnapshotTable:
         # (not spark.sql.shuffle.partitions): each write task owns ~one
         # bucket dir, so file count is constant regardless of cluster
         # size — file-creation overhead must not grow with cores.
+        # Dir name carries a unique attempt id: a crash after the data
+        # write but before the commit rename leaves an orphan (reclaimed
+        # by vacuum), and the RETRY must not collide with it.
         v = cur["version"] + 1
-        rel_dir = f"data/c{v:012d}"
+        rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.location, rel_dir)
         n_parts = max(1, len(affected))
         (
             survivors.repartition(n_parts, F.col(BUCKET_COL))
+            .sortWithinPartitions(*key_cols)
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)

