@@ -22,9 +22,11 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from pyspark.sql import Column
+
 from .schema_evolution import EpochRegistry
 from .table import CommitInfo, SnapshotTable
-from .transforms import TransformPipeline
+from .transforms import ErrorLimit, TransformPipeline, quarantine
 
 
 class CDCEngine:
@@ -34,11 +36,20 @@ class CDCEngine:
         table: SnapshotTable,
         registry: EpochRegistry,
         transform: TransformPipeline | None = None,
+        ok_condition: Column | None = None,
+        error_limit: ErrorLimit | None = None,
     ):
+        """ok_condition: rows failing it (post-transform) are diverted
+        to <table>/_quarantine instead of merged — the reference's
+        collectDirtyRecord (SURVEY.md §2.8). error_limit aborts the
+        batch BEFORE the merge commit when dirty counts exceed it, so
+        an aborted batch replays cleanly (no partial state)."""
         self.spark = spark
         self.table = table
         self.registry = registry
         self.transform = transform or TransformPipeline()
+        self.ok_condition = ok_condition
+        self.error_limit = error_limit or ErrorLimit()
         self._applied_epoch = self._infer_table_epoch()
 
     def _infer_table_epoch(self) -> int:
@@ -107,6 +118,17 @@ class CDCEngine:
         n_rows = sum(r["rows"] for r in stats)
         batch_df = self.transform.apply(batch_df)
 
+        n_dirty = 0
+        if self.ok_condition is not None:
+            batch_df, dirty = quarantine(batch_df, self.ok_condition)
+            n_dirty = dirty.count()
+            if n_dirty:
+                dirty.write.mode("append").parquet(
+                    os.path.join(self.table.location, "_quarantine")
+                )
+            # abort BEFORE merge: a failed batch leaves no partial state
+            self.error_limit.check(n_dirty, n_rows)
+
         # Live column add/drop/retype: walk epochs up to the batch's max.
         while self._applied_epoch < min(batch_epoch, self.registry.max_epoch):
             nxt = self._applied_epoch + 1
@@ -121,7 +143,7 @@ class CDCEngine:
             op_col="op",
             batch_id=batch_id,
             lineage=lineage,
-            metrics={},
+            metrics={"n_dirty": n_dirty} if n_dirty else {},
             affected_buckets=affected,
         )
         wall = time.monotonic() - t0

@@ -715,6 +715,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", textops.doc_fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "corpus_clean_pipeline",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_STOPWORD_SQL}, x))) AS n_sw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+         round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+               + 0.5 * (1.0 - abs(n_sw / CAST(n_tokens AS DOUBLE) - 0.2) / 0.8), 4) AS quality
+  FROM t
+),
+filt AS (SELECT * FROM scored WHERE quality >= 0.3),
+keep AS (SELECT sha256(text) AS sha, min(doc_id) AS keep_id FROM filt GROUP BY sha256(text))
+SELECT f.doc_id, f.lang, f.n_tokens, f.quality
+FROM filt f JOIN keep k ON sha256(f.text) = k.sha AND f.doc_id = k.keep_id
+""",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality-score filter → exact
+    dedup (keep lowest doc_id per content hash) — the operators chain
+    without materialization; Catalyst fuses score+filter into the scan
+    and the dedup is one hash shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        textops.token_count("text").alias("n_tokens"),
+        textops.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.3)
+    keep = (
+        scored.select(textops.content_hash("text").alias("keep_sha"), "doc_id")
+        .groupBy("keep_sha")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    return (
+        scored.withColumn("sha", textops.content_hash("text"))
+        .join(
+            keep,
+            (F.col("sha") == F.col("keep_sha")) & (F.col("doc_id") == F.col("keep_id")),
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

@@ -123,3 +123,52 @@ def test_json_wal_replay_equivalence(spark, wal_fixture, tmp_path):
         .sort_values(["repo", "path"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_engine_quarantine_and_error_limit(spark, tmp_path):
+    """Dirty rows divert to _quarantine and never reach the table; the
+    errorLimit aborts the batch BEFORE any commit (clean replay)."""
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import DirtyDataLimitExceeded, ErrorLimit
+
+    reg = EpochRegistry([{"epoch": 0, "change": "base",
+                          "columns": {"content": "string"}}])
+    batch = spark.range(100).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("id").cast("string")).alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    ok = F.col("content").isNotNull() | (F.col("op") == "D")
+
+    # generous limit: dirty rows quarantined, clean rows merged
+    loc1 = str(tmp_path / "q1")
+    t1 = SnapshotTable.create(spark, loc1, reg.schema_for(0),
+                              key_cols=["repo", "path"], num_buckets=4)
+    e1 = CDCEngine(spark, t1, reg, ok_condition=ok,
+                   error_limit=ErrorLimit(percentage=0.5))
+    e1.apply_batch(batch, batch_id="b0")
+    assert t1.snapshot().count() == 90
+    q = spark.read.parquet(os.path.join(loc1, "_quarantine"))
+    assert q.count() == 10
+    assert t1.current()["metrics"].get("n_dirty") == 10
+
+    # strict limit: batch aborts, NOTHING committed
+    loc2 = str(tmp_path / "q2")
+    t2 = SnapshotTable.create(spark, loc2, reg.schema_for(0),
+                              key_cols=["repo", "path"], num_buckets=4)
+    e2 = CDCEngine(spark, t2, reg, ok_condition=ok,
+                   error_limit=ErrorLimit(record=3))
+    with pytest.raises(DirtyDataLimitExceeded):
+        e2.apply_batch(batch, batch_id="b0")
+    assert t2.current()["version"] == 0
+    assert t2.snapshot().count() == 0
+    # replay after fixing the limit converges
+    e3 = CDCEngine(spark, t2, reg, ok_condition=ok,
+                   error_limit=ErrorLimit(percentage=0.5))
+    e3.apply_batch(batch, batch_id="b0")
+    assert t2.snapshot().count() == 90

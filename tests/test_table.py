@@ -319,3 +319,31 @@ def test_point_lookup_scans_one_bucket(spark, tmp_path):
 
     with __import__("pytest").raises(ValueError):
         t.lookup({"repo": "r3"})
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    from pyspark.sql import types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "diff")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+
+    def batch(rows, lsn0):
+        return spark.createDataFrame(
+            [(r, p, c, lsn0 + i, op) for i, (r, p, c, op) in enumerate(rows)],
+            "repo string, path string, content string, lsn long, op string")
+
+    t.merge(batch([("r", "a", "1", "U"), ("r", "b", "1", "U"), ("r", "c", "1", "U")], 0),
+            batch_id="b1")                                   # v1: a,b,c
+    t.merge(batch([("r", "b", "2", "U"), ("r", "c", None, "D"), ("r", "d", "9", "U")], 10),
+            batch_id="b2")                                   # v2: a, b upd, c gone, d new
+
+    changes = {(r["path"], r["_change"]): r["content"] for r in t.diff(1, 2).collect()}
+    assert changes == {("b", "U"): "2", ("c", "D"): "1", ("d", "I"): "9"}
+    # identity diff is empty; diff to current default works
+    assert t.diff(2, 2).count() == 0
+    assert t.diff(1).count() == 3
