@@ -479,6 +479,56 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_rollup_revenue",
+    """
+SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total) —
+    one pass, Spark expands the grouping sets without re-scanning."""
+    cust = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+        )
+    )
+
+
+@query(
+    "union_by_name_epochs",
+    """
+SELECT user_id, event_type, value, NULL AS props FROM events WHERE event_id % 2 = 0
+UNION ALL BY NAME
+SELECT user_id, event_type, props FROM events WHERE event_id % 2 = 1
+""",
+)
+def union_by_name_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch WAL segment union: two segment shapes (one lacking
+    a column) merged by NAME with NULL fill — unionByName(
+    allowMissingColumns) is how the engine reads epoch-spanning WALs
+    (SURVEY.md §2.7)."""
+    ev = load(spark, sf_dir, "events")
+    old_epoch = ev.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", "event_type", "value"
+    )
+    new_epoch = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_type", "props"
+    )
+    return old_epoch.unionByName(new_epoch, allowMissingColumns=True)
+
+
+@query(
     "window_top_orders",
     """
 WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
