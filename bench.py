@@ -57,6 +57,8 @@ HEADLINE = [
     "ann_lsh_buckets",
     "multimodal_decode_meta",
     "stream_windowed_counts",
+    "stream_stateful_audit",
+    "corpus_clean_pipeline",
 ]
 
 
