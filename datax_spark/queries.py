@@ -550,6 +550,35 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_agg_topk",
+    """
+WITH rev AS (
+  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS gross
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY o_custkey, c_mktsegment
+)
+SELECT o_custkey, c_mktsegment, round(gross, 2) AS revenue
+FROM rev ORDER BY gross DESC, o_custkey LIMIT 20
+""",
+)
+def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite join → aggregate → global top-k (TPC-H Q3 shape):
+    broadcast dim join, partial agg, TakeOrderedAndProject."""
+    orders = load(spark, sf_dir, "orders")
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("gross"))
+    )
+    return (
+        rev.orderBy(F.desc("gross"), F.asc("o_custkey"))
+        .limit(20)
+        .select("o_custkey", "c_mktsegment", F.round("gross", 2).alias("revenue"))
+    )
+
+
+@query(
     "setop_purchasers_no_errors",
     """
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'

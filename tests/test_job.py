@@ -154,3 +154,21 @@ def test_unknown_plugin_rejected(spark):
             "reader": {"name": "nosuchreader", "parameter": {"path": "/x"}},
             "writer": {"name": "memwriter", "parameter": {}},
         }]}})
+
+
+def test_multi_content_entries(spark, tmp_path):
+    """DataX job.content is a LIST — one job can run several
+    reader→writer pairs; counters aggregate across them."""
+    out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+    r = run_job(spark, {"job": {"content": [
+        {"reader": {"name": "parquetreader", "parameter": {"path": f"{SF}/region.parquet"}},
+         "writer": {"name": "parquetwriter", "parameter": {"path": out1, "writeMode": "truncate"}}},
+        {"reader": {"name": "parquetreader", "parameter": {"path": f"{SF}/nation.parquet"}},
+         "writer": {"name": "parquetwriter", "parameter": {"path": out2, "writeMode": "truncate"}}},
+    ]}})
+    n_region = spark.read.parquet(f"{SF}/region.parquet").count()
+    n_nation = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert r.rows_read == n_region + n_nation
+    assert r.rows_written == n_region + n_nation
+    assert spark.read.parquet(out1).count() == n_region
+    assert spark.read.parquet(out2).count() == n_nation
