@@ -198,8 +198,13 @@ class CDCEngine:
             "pathGlobFilter", f"*.{wal_format}"
         )
         if wal_format == "csv":
-            reader = reader.option("header", "true").option(
-                "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            reader = (
+                reader.option("header", "true")
+                .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+                # source-code content embeds newlines → quoted multiline
+                # fields (matches the Spark CSV writer's quoting)
+                .option("multiLine", "true")
+                .option("escape", "\\")
             )
         return reader
 

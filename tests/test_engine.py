@@ -172,3 +172,41 @@ def test_engine_quarantine_and_error_limit(spark, tmp_path):
                    error_limit=ErrorLimit(percentage=0.5))
     e3.apply_batch(batch, batch_id="b0")
     assert t2.snapshot().count() == 90
+
+
+def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):
+    """The same change stream shipped as a CSV WAL must fold to the
+    same final state (header + explicit timestamp format)."""
+    import os
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    cdir = str(tmp_path / "wal_csv")
+    src = (
+        spark.read.schema(reg.wal_schema())
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wal_fixture.wal_dir)
+    )
+    (
+        src.withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .coalesce(1)
+        .write.option("header", "true").csv(cdir)
+    )
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tc"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    CDCEngine(spark, t, reg).replay_batch(cdir, wal_format="csv")
+    got = (
+        t.snapshot().select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(os.path.join(wal_fixture.expected_dir, "final_hashes.parquet"))
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
