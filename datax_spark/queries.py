@@ -451,6 +451,40 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_brand_supplier_volume",
+    """
+SELECT p_brand, s_name,
+       count(*) AS n_lines,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_name
+""",
+)
+def agg_brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-two-dims star join (part + supplier both broadcast) with
+    a grouped volume/revenue rollup — completes coverage of every
+    driver table."""
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    supp = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "net_revenue"
+            ),
+        )
+    )
+
+
+@query(
     "skew_salted_join",
     """
 SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
