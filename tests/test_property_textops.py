@@ -39,7 +39,8 @@ def model_minhash_pairs(texts: list[str], n_bands=4, k=8, stride=4) -> set[tuple
     sigs = []
     for text in texts:
         sh = [text[s - 1: s - 1 + k] for s in range(1, max(len(text) - (k - 1), 1) + 1, stride)]
-        sigs.append([min(_sha(f"{b}:{g}") for g in sh) for b in range(n_bands)])
+        hs = [_sha(g) for g in sh]
+        sigs.append([min(h[b * 16: b * 16 + 16] for h in hs) for b in range(n_bands)])
     pairs = set()
     for i in range(len(texts)):
         for j in range(i + 1, len(texts)):
