@@ -22,7 +22,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import simsearch, textops
@@ -32,6 +32,24 @@ from .multimodal import decode_media
 from .schema_evolution import EpochRegistry
 from .table import SnapshotTable
 from .transforms import dx_filter, dx_pad, dx_replace, dx_substr
+
+
+def money_sum(col: Column | str) -> Column:
+    """Order-independent money aggregation: per-row cast to
+    DECIMAL(18,4) (exact, associative addition) before summing, so the
+    result is bit-identical regardless of partitioning/summation order
+    — double sums can land on opposite sides of a rounding boundary
+    between engines. SQL twin: _money_sum_sql()."""
+    c = F.col(col) if isinstance(col, str) else col
+    # round to 2dp IN DECIMAL (exact HALF_UP), only then cast to double:
+    # rounding after a double cast re-introduces the boundary problem
+    # (Spark rounds the shortest decimal repr, DuckDB the binary value)
+    return F.sum(c.cast("decimal(18,4)")).cast("decimal(28,2)").cast("double")
+
+
+def _money_sum_sql(expr: str) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -394,9 +412,9 @@ def job_spec_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_quantity < 50
@@ -409,10 +427,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 50)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        money_sum("l_extendedprice").alias("sum_base_price"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
@@ -423,7 +439,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT r_name, n_name,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -445,7 +461,7 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            money_sum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -455,8 +471,8 @@ def join_broadcast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT p_brand, s_name,
        count(*) AS n_lines,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS net_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -476,10 +492,8 @@ def agg_brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "net_revenue"
-            ),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_revenue"),
         )
     )
 
@@ -487,7 +501,7 @@ def agg_brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skew_salted_join",
     """
-SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS sum_value
+SELECT c_mktsegment, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -507,7 +521,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )
 
@@ -515,7 +529,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_rollup_revenue",
     """
-SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+SELECT r_name, n_name, count(*) AS n_cust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -534,7 +548,7 @@ def agg_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+            money_sum("c_acctbal").alias("acctbal"),
         )
     )
 
@@ -587,11 +601,11 @@ def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_agg_topk",
     """
 WITH rev AS (
-  SELECT o_custkey, c_mktsegment, sum(o_totalprice) AS gross
+  SELECT o_custkey, c_mktsegment, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS gross
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY o_custkey, c_mktsegment
 )
-SELECT o_custkey, c_mktsegment, round(gross, 2) AS revenue
+SELECT o_custkey, c_mktsegment, CAST(round(gross, 2) AS DOUBLE) AS revenue
 FROM rev ORDER BY gross DESC, o_custkey LIMIT 20
 """,
 )
@@ -603,12 +617,13 @@ def join_agg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_custkey", "c_mktsegment")
-        .agg(F.sum("o_totalprice").alias("gross"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("gross"))
     )
     return (
         rev.orderBy(F.desc("gross"), F.asc("o_custkey"))
         .limit(20)
-        .select("o_custkey", "c_mktsegment", F.round("gross", 2).alias("revenue"))
+        .select("o_custkey", "c_mktsegment",
+                F.col("gross").cast("decimal(28,2)").cast("double").alias("revenue"))
     )
 
 
@@ -990,7 +1005,7 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_windowed_counts",
     """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1011,7 +1026,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
