@@ -415,7 +415,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))) / count(*), 4) AS DOUBLE) AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_quantity < 50
 GROUP BY l_returnflag, l_linestatus
@@ -429,7 +429,8 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         money_sum("l_extendedprice").alias("sum_base_price"),
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        (F.sum(F.col("l_discount").cast("decimal(18,6)")) / F.count(F.lit(1)))
+        .cast("decimal(28,4)").cast("double").alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
