@@ -210,6 +210,47 @@ def cdc_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_DIFF_SQL = f"""
+WITH ev AS ({_EV_SQL}),
+mid AS (SELECT (min(lsn) + max(lsn)) // 2 AS m FROM ev),
+w1 AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+       FROM ev WHERE lsn < (SELECT m FROM mid)),
+f1 AS (SELECT repo, path, lsn, commit_id, content FROM w1 WHERE rn = 1 AND op <> 'D'),
+w2 AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev),
+f2 AS (SELECT repo, path, lsn, commit_id, content FROM w2 WHERE rn = 1 AND op <> 'D')
+SELECT CASE WHEN f1.repo IS NULL THEN 'I'
+            WHEN f2.repo IS NULL THEN 'D'
+            ELSE 'U' END AS _change,
+       coalesce(f2.repo, f1.repo) AS repo,
+       coalesce(f2.path, f1.path) AS path,
+       coalesce(f2.commit_id, f1.commit_id) AS commit_id,
+       sha256(coalesce(f2.content, f1.content)) AS content_sha256
+FROM f1 FULL OUTER JOIN f2 ON f1.repo = f2.repo AND f1.path = f2.path
+WHERE f1.repo IS NULL OR f2.repo IS NULL OR f1.lsn <> f2.lsn
+"""
+
+
+@query("cdc_snapshot_diff", _CDC_DIFF_SQL)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change feed between two table snapshots
+    (table.diff): apply the first half of the stream, snapshot, apply
+    the rest, then diff the versions. Oracle = SQL comparison of the
+    two LWW folds."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+    engine.apply_batch(changes.filter(F.col("lsn") < mid), batch_id="b1")
+    v1 = table.current()["version"]
+    engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    v2 = table.current()["version"]
+    return table.diff(v1, v2).select(
+        "_change", "repo", "path", "commit_id",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
 @query("schema_evolution_replay")  # rows-only: input is a generated WAL, not an sf table
 def schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live column add/retype/drop across epochs (SURVEY.md §2, north
