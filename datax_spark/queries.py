@@ -1005,6 +1005,49 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", simsearch.lsh_bucket("embedding", 8, 64).alias("bucket"))
 
 
+_PLANES_SQL = """
+planes AS (
+  SELECT b, d,
+         strpos('0123456789abcdef',
+                substr(sha256('p' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+           - 1 - 7.5 AS w
+  FROM (SELECT unnest(range(0, 8)) AS b), (SELECT unnest(range(0, 64)) AS d)
+),
+comp AS (
+  SELECT e.vec_id, p.b, sum(p.w * CAST(e.embedding[p.d + 1] AS DOUBLE)) AS proj
+  FROM embeddings e, planes p GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM comp GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+WITH {_PLANES_SQL},
+q AS (SELECT b.vec_id AS query_id, e.embedding AS qv, b.bucket
+      FROM bucketed b JOIN embeddings e USING (vec_id) WHERE b.vec_id < 10),
+c AS (SELECT b.vec_id AS neighbor_id, e.embedding AS cv, b.bucket
+      FROM bucketed b JOIN embeddings e USING (vec_id)),
+s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+      FROM q JOIN c ON q.bucket = c.bucket AND c.neighbor_id <> q.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM r WHERE rank <= 5
+""",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k (the ANN scale path end-to-end): candidates
+    restricted to the query's sign-LSH bucket, exact cosine + window
+    only within buckets — turns O(N·Q) into a uniform hash-bucket
+    join. Fully oracle-checked including the approximation."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # =====================================================================
 # Multimodal plumbing
 # =====================================================================

@@ -170,3 +170,36 @@ def quarantine(df: DataFrame, ok_cond: Column) -> tuple[DataFrame, DataFrame]:
     .collectDirtyRecord analogue — one cached scan, two filters."""
     tagged = df.withColumn("_ok", F.coalesce(ok_cond, F.lit(False)))
     return tagged.filter(F.col("_ok")).drop("_ok"), tagged.filter(~F.col("_ok")).drop("_ok")
+
+
+def map_in_arrow_sha(df: DataFrame, text_col: str, out_col: str = "sha_arrow") -> DataFrame:
+    """mapInArrow variant of the content-sha transform: batches arrive
+    as pyarrow RecordBatches (zero pandas conversion — the leanest
+    Python hop Spark offers). Used to prove the Arrow-native UDF path
+    produces byte-identical results to the JVM sha2 (§2.10)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    schema_names = df.columns + [out_col]
+
+    def _sha_batches(batches):
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index(text_col))
+            shas = pa.array(
+                [
+                    hashlib.sha256(v.encode()).hexdigest() if v is not None else None
+                    for v in col.to_pylist()
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [shas],
+                names=schema_names,
+            )
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} string"]
+    )
+    return df.mapInArrow(_sha_batches, out_schema)

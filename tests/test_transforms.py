@@ -88,3 +88,17 @@ def test_pipeline_fuses(spark, df):
     # whole chain stays in one codegen stage (no Python in the plan)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_map_in_arrow_sha_parity(spark):
+    """Arrow-native mapInArrow path must agree with JVM sha2 and the
+    pandas-UDF twin on every row (all three §2.10 UDF surfaces)."""
+    from pyspark.sql import functions as F
+    from datax_spark.transforms import content_sha256, map_in_arrow_sha
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = map_in_arrow_sha(docs, "text").withColumn("sha_sql", content_sha256("text"))
+    assert out.filter(F.col("sha_arrow") != F.col("sha_sql")).count() == 0
+    assert out.count() == docs.count()
