@@ -55,6 +55,7 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_lsh_topk",
     "multimodal_decode_meta",
     "stream_windowed_counts",
     "stream_stateful_audit",

@@ -251,6 +251,27 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_LOOKUP_SQL = f"""
+WITH ev AS ({_EV_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev)
+SELECT repo, path, commit_id, lang, content
+FROM w WHERE rn = 1 AND op <> 'D' AND repo = 'u7' AND path = 'user/7'
+"""
+
+
+@query("cdc_point_lookup", _CDC_LOOKUP_SQL)
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (table.lookup): replay the stream,
+    then read ONE key through the hash-bucket + sorted-row-group read
+    path. Oracle = the LWW fold filtered to that key."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    CDCEngine(spark, table, registry).apply_batch(
+        events_as_changes(load(spark, sf_dir, "events")), batch_id="lk"
+    )
+    return table.lookup({"repo": "u7", "path": "user/7"})
+
+
 @query("schema_evolution_replay")  # rows-only: input is a generated WAL, not an sf table
 def schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live column add/retype/drop across epochs (SURVEY.md §2, north
