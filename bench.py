@@ -204,12 +204,17 @@ def run_scaling(sf_dir: str) -> dict:
     for label in ("lo", "hi", "full"):
         out[f"wall_sec_{label}"] = round(best[label], 2)
         out[f"events_per_sec_{label}"] = round(n_events / best[label], 1)
-    # Efficiency per adjacent pair (same host conditions for both
-    # sides), then the best pair: host-noise-robust in a shared VM.
+    # Efficiency from each side's best-of-trials wall: with interleaved
+    # trials, min-over-trials converges to each parallelism's true
+    # capability as contended windows are discarded. Per-pair values
+    # are kept as diagnostics (a pair whose lo side was contended can
+    # read >1 — that is host noise, not superlinear scaling).
     ratio = cores_hi / cores_lo
     out["pair_walls"] = pairs
     out["pair_efficiencies"] = [round((lo / hi) / ratio, 3) for lo, hi in pairs]
-    out["scaling_efficiency"] = max(out["pair_efficiencies"])
+    out["scaling_efficiency"] = round(
+        (out["events_per_sec_hi"] / out["events_per_sec_lo"]) / ratio, 3
+    )
     return out
 
 
