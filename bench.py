@@ -218,6 +218,55 @@ def run_scaling(sf_dir: str) -> dict:
     return out
 
 
+def run_streaming(sf_dir: str, amplify: int = 64) -> dict:
+    """End-to-end Structured Streaming throughput: the same amplified
+    WAL drained through run_stream (availableNow) — includes source
+    listing, checkpoint commits and foreachBatch overhead, i.e. the
+    real streaming path, not just apply_batch."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import TransformPipeline
+
+    spark = _get_spark(CPUS)
+    wal, n_events = prepare_wal(spark, sf_dir, amplify, 4)
+    # run_stream expects the registry's wal schema incl. ts/schema_epoch
+    registry = EpochRegistry(_BENCH_REGISTRY)
+    loc = tempfile.mkdtemp(prefix="datax_bench_s_", dir=BENCH_TMP)
+    flat = os.path.join(loc, "wal")
+    os.makedirs(flat)
+    for seg in sorted(os.listdir(wal)):
+        if seg.startswith("seg="):
+            for i, f in enumerate(sorted(os.listdir(os.path.join(wal, seg)))):
+                if f.endswith(".parquet"):
+                    shutil.copy(os.path.join(wal, seg, f),
+                                os.path.join(flat, f"{seg}_{i:04d}.parquet"))
+    table = SnapshotTable.create(
+        spark, os.path.join(loc, "t"), registry.schema_for(0),
+        key_cols=registry.key_cols, num_buckets=64,
+    )
+    transform = TransformPipeline().with_column(
+        "content_sha", F.sha2(F.col("content"), 256)
+    )
+    engine = CDCEngine(spark, table, registry, transform=transform)
+    n_files = len(os.listdir(flat))
+    t0 = time.monotonic()
+    q = engine.run_stream(
+        flat, os.path.join(loc, "ckpt"),
+        max_files_per_trigger=max(1, n_files // 4), available_now=True,
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    n_batches = len(table.committed_batch_ids())
+    spark.stop()
+    return {"events": n_events, "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1), "micro_batches": n_batches}
+
+
 def run_headline(sf_dir: str) -> tuple[dict, float]:
     from pyspark.sql import functions as F
 
@@ -248,6 +297,9 @@ def main() -> None:
     scaling = None
     if os.environ.get("DATAX_BENCH_SCALING", "1") != "0":
         scaling = run_scaling(SF_DIR)
+    streaming = None
+    if os.environ.get("DATAX_BENCH_STREAMING", "1") != "0":
+        streaming = run_streaming(SF_DIR)
     times, total = run_headline(SF_DIR)
     out = {
         "metric": "headline_suite_wall_sec",
@@ -259,6 +311,8 @@ def main() -> None:
     }
     if scaling is not None:
         out["merge_apply"] = scaling
+    if streaming is not None:
+        out["streaming_apply"] = streaming
     print(json.dumps(out))
 
 
