@@ -488,7 +488,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter is pushed to the parquet scan."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 50)
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        money_sum("l_quantity").alias("sum_qty"),
         money_sum("l_extendedprice").alias("sum_base_price"),
         money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
         (F.sum(F.col("l_discount").cast("decimal(18,6)")) / F.count(F.lit(1)))
