@@ -72,3 +72,47 @@ def salted_join(
     f = with_salt(fact, n_salt, from_col=fact_salt_from)
     d = explode_salt(dim, n_salt)
     return f.join(d, on=[*on, "_salt"], how=how).drop("_salt")
+
+
+def adaptive_salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salt: int = 8,
+    threshold_frac: float = 0.01,
+    how: str = "inner",
+    fact_salt_from: str | None = None,
+) -> DataFrame:
+    """Salt ONLY detected hot keys: cold keys join with salt 0, hot
+    keys spread over n_salt. Dim replication cost scales with the hot
+    set (bounded by 1/threshold_frac keys), not |dim| — at a 10^9-row
+    dimension, full explode_salt is n_salt× the dim shuffle; this is
+    |dim| + (n_salt−1)·|hot|. Result identical to the plain join for a
+    key-unique dim."""
+    hot = hot_keys(fact, on, threshold_frac=threshold_frac)
+    if not hot:
+        return fact.join(dim, on=on, how=how)
+    hot_df = F.broadcast(
+        fact.sparkSession.createDataFrame(hot, on).withColumn("_hot", F.lit(True))
+    )
+    src = F.col(fact_salt_from) if fact_salt_from else F.monotonically_increasing_id()
+    f = (
+        fact.join(hot_df, on=on, how="left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot").isNotNull(), F.pmod(F.hash(src), F.lit(n_salt)))
+            .otherwise(F.lit(0)),
+        )
+        .drop("_hot")
+    )
+    # explode of a conditional array: hot rows fan out ×n_salt, cold
+    # rows keep a single salt-0 copy
+    salt_values = F.when(
+        F.col("_hot").isNotNull(), F.array(*[F.lit(i) for i in range(n_salt)])
+    ).otherwise(F.array(F.lit(0)))
+    d = (
+        dim.join(hot_df, on=on, how="left")
+        .withColumn("_salt", F.explode(salt_values))
+        .drop("_hot")
+    )
+    return f.join(d, on=[*on, "_salt"], how=how).drop("_salt")

@@ -73,3 +73,28 @@ def test_explode_salt_replicates_dim(spark):
     d = explode_salt(_dim(spark), N_SALT)
     assert d.count() == 100 * N_SALT
     assert d.select("_salt").distinct().count() == N_SALT
+
+
+def test_adaptive_salted_join_equals_plain_join(spark):
+    """Hot-only salting must produce the identical result while
+    replicating only the hot keys' dim rows."""
+    from datax_spark.skew import adaptive_salted_join
+
+    fact, dim = _skewed_fact(spark), _dim(spark)
+    plain = fact.join(dim, on=["k"]).groupBy("k", "name").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    adaptive = adaptive_salted_join(
+        fact, dim, on=["k"], n_salt=N_SALT, threshold_frac=0.1, fact_salt_from="v"
+    ).groupBy("k", "name").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, adaptive.collect()))
+
+
+def test_adaptive_salting_no_hot_keys_falls_back(spark):
+    from datax_spark.skew import adaptive_salted_join
+
+    fact = spark.range(1000).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("k"), F.col("id").alias("v"))
+    dim = _dim(spark)
+    out = adaptive_salted_join(fact, dim, on=["k"], threshold_frac=0.5)
+    assert out.count() == 1000
