@@ -640,6 +640,36 @@ def union_by_name_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_adaptive_join",
+    """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive hot-only salting (skew.adaptive_salted_join): only keys
+    above the frequency threshold are salted; result identical to the
+    plain join (same oracle as skew_salted_join)."""
+    from .skew import adaptive_salted_join
+
+    ev = load(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        adaptive_salted_join(
+            ev, cust, on=["c_custkey"], n_salt=8, threshold_frac=0.005,
+            fact_salt_from="event_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+
+
+@query(
     "window_top_orders",
     """
 WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
