@@ -172,3 +172,20 @@ def test_multi_content_entries(spark, tmp_path):
     assert r.rows_written == n_region + n_nation
     assert spark.read.parquet(out1).count() == n_region
     assert spark.read.parquet(out2).count() == n_nation
+
+
+def test_example_job_specs_run(spark, tmp_path):
+    """The shipped example specs (examples/job_specs/*.json) run
+    unmodified — the reference user's migration artifact."""
+    import glob
+    import json
+    import shutil
+
+    shutil.rmtree("/tmp/datax_out", ignore_errors=True)
+    specs = sorted(glob.glob("examples/job_specs/*.json"))
+    assert len(specs) >= 3
+    for path in specs:
+        with open(path) as f:
+            spec = json.load(f)
+        r = run_job(spark, spec)
+        assert r.rows_read > 0, path
