@@ -20,9 +20,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .schema_evolution import EpochRegistry
 from .table import CommitInfo, SnapshotTable
@@ -64,7 +62,12 @@ class CDCEngine:
     # ------------------------------------------------------------ batch
 
     def apply_batch(self, batch_df: DataFrame, batch_id: str | None = None) -> CommitInfo:
-        """Align → transform → (evolve schema if needed) → MERGE."""
+        """Align → transform → (evolve schema if needed) → MERGE.
+
+        Contract: the key columns must be present and final in the RAW
+        batch (the WAL carries them); transforms may derive payload
+        columns but not keys — affected-bucket discovery runs on the
+        pre-transform batch."""
         if batch_id is not None and batch_id in self.table.committed_batch_ids():
             return CommitInfo(
                 self.table.current()["version"],
