@@ -267,6 +267,60 @@ def run_streaming(sf_dir: str, amplify: int = 64) -> dict:
             "events_per_sec": round(n_events / wall, 1), "micro_batches": n_batches}
 
 
+def run_skew_merge(sf_dir: str, amplify: int = 64) -> dict:
+    """Proof for skew.py's claim that the MERGE path needs no salting:
+    an adversarial Zipf WAL (half of ALL events redirected to one hot
+    key — worse than any real binlog) vs a uniform WAL of identical
+    row count and payload through the same amplified merge. LWW max_by
+    runs map-side partial aggregation, so a hot key's events collapse
+    to ≤1 row per map partition before the shuffle: the input can be
+    arbitrarily key-skewed while the shuffled data stays balanced.
+    Evidence = wall ratio ≈ 1 despite input_max_bucket_share jumping
+    from ~uniform to ~0.5."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.queries import events_as_changes, load
+    from datax_spark.table import bucket_expr
+
+    spark = _get_spark(CPUS)
+    ev = events_as_changes(load(spark, sf_dir, "events")).repartition(CPUS * 2)
+    rep = spark.range(amplify).withColumnRenamed("id", "rep")
+    base = (
+        ev.crossJoin(F.broadcast(rep))
+        .withColumn("lsn", F.col("lsn") * amplify + F.col("rep"))
+        .withColumn(
+            "content",
+            F.concat(F.repeat(F.col("content"), 24), F.lit("#v"), F.col("rep")),
+        )
+        .drop("rep")
+    )
+    hot = F.col("lsn") % 2 == 0
+    zipf = base.withColumn(
+        "repo", F.when(hot, F.lit("u0")).otherwise(F.col("repo"))
+    ).withColumn("path", F.when(hot, F.lit("user/hot")).otherwise(F.col("path")))
+    loc = tempfile.mkdtemp(prefix="datax_bench_skew_", dir=BENCH_TMP)
+    out: dict = {}
+    walls: dict[str, float] = {}
+    for name, df in (("uniform", base), ("zipf", zipf)):
+        w = os.path.join(loc, name)
+        df.write.parquet(os.path.join(w, "seg=0"))
+        seg = spark.read.parquet(os.path.join(w, "seg=0"))
+        if name == "uniform":
+            out["events"] = seg.count()
+        share = (
+            seg.select(bucket_expr(["repo", "path"], 64).alias("b"))
+            .groupBy("b").count()
+            .agg((F.max("count") / F.sum("count")).alias("s"))
+            .collect()[0]["s"]
+        )
+        out[f"input_max_bucket_share_{name}"] = round(float(share), 3)
+        walls[name] = apply_wal(spark, w, 1)
+        out[f"wall_sec_{name}"] = round(walls[name], 2)
+    out["zipf_over_uniform"] = round(walls["zipf"] / walls["uniform"], 3)
+    spark.stop()
+    return out
+
+
 def run_headline(sf_dir: str) -> tuple[dict, float]:
     from pyspark.sql import functions as F
 
@@ -300,6 +354,9 @@ def main() -> None:
     streaming = None
     if os.environ.get("DATAX_BENCH_STREAMING", "1") != "0":
         streaming = run_streaming(SF_DIR)
+    skew = None
+    if os.environ.get("DATAX_BENCH_SKEW", "1") != "0":
+        skew = run_skew_merge(SF_DIR)
     times, total = run_headline(SF_DIR)
     out = {
         "metric": "headline_suite_wall_sec",
@@ -313,6 +370,8 @@ def main() -> None:
         out["merge_apply"] = scaling
     if streaming is not None:
         out["streaming_apply"] = streaming
+    if skew is not None:
+        out["merge_skew"] = skew
     print(json.dumps(out))
 
 

@@ -125,12 +125,19 @@ class CDCEngine:
         if self.ok_condition is not None:
             batch_df, dirty = quarantine(batch_df, self.ok_condition)
             n_dirty = dirty.count()
-            if n_dirty:
-                dirty.write.mode("append").parquet(
-                    os.path.join(self.table.location, "_quarantine")
-                )
-            # abort BEFORE merge: a failed batch leaves no partial state
+            # abort BEFORE any write: an aborted batch leaves no
+            # partial state at all (not even quarantine rows), so its
+            # replay starts clean.
             self.error_limit.check(n_dirty, n_rows)
+            if n_dirty:
+                # idempotent per-batch subdir (overwrite): a committed
+                # batch replayed after a crash between this write and
+                # the commit rewrites the same rows instead of
+                # appending duplicates.
+                sub = batch_id if batch_id is not None else "unbatched"
+                dirty.write.mode("overwrite").parquet(
+                    os.path.join(self.table.location, "_quarantine", f"batch_id={sub}")
+                )
 
         # Live column add/drop/retype: walk epochs up to the batch's max.
         while self._applied_epoch < min(batch_epoch, self.registry.max_epoch):

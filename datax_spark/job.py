@@ -12,26 +12,32 @@ split of transforms.py.
 
 Readers: parquetreader, txtfilereader/csvreader (fieldDelimiter,
 encoding, nullFormat, dateFormat, skipHeader, column projection),
-jsonreader, streamreader (synthetic generator — the reference's test
-source), jdbcreader (options passthrough with splitPk → partitioned
-read; no JDBC driver ships in this sandbox so it is config-mapping
-only), walreader (this engine's change-stream tail, batch form).
+jsonreader, orcreader, streamreader (synthetic generator — the
+reference's test source), jdbcreader (querySql via Spark's `query`
+option, splitPk → partitioned read; no JDBC driver ships in this
+sandbox so it is config-mapping only — see jdbc_options), walreader
+(this engine's change-stream tail, batch form).
 
 Writers: parquetwriter/hdfswriter (writeMode append/nonConflict/
-truncate → Spark save modes), txtfilewriter/csvwriter, streamwriter
-(show), memwriter (collect to a named temp view — test sink),
-snapshotwriter (MERGE into SnapshotTable; writeMode insert/replace/
-update mirrors [UP plugin-rdbms-util/.../CommonRdbmsWriter.java]:
+truncate → Spark save modes), orcwriter, txtfilewriter/csvwriter,
+streamwriter (show), memwriter (collect to a named temp view — test
+sink), snapshotwriter (MERGE into SnapshotTable; writeMode insert/
+replace/update mirrors [UP plugin-rdbms-util/.../CommonRdbmsWriter.java]:
 insert diverts rows whose key already exists to the dirty counter,
-replace/update upsert them).
+replace/update upsert them). All writers honor preSql/postSql hooks.
+
+Transformers: dx_substr/pad/replace/filter/cast, dx_sql (Catalyst
+expression), dx_python (named Arrow-vectorized UDF from
+transforms.register_udf — the job-JSON-reachable dx_groovy analogue).
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions as F
 
 from .table import SnapshotTable
 from .transforms import (
@@ -52,10 +58,43 @@ class JobConfigError(ValueError):
 class JobResult:
     rows_read: int = 0
     rows_written: int = 0
+    bytes_read: int = 0
+    bytes_written: int = 0
     dirty_records: int = 0
     wall_sec: float = 0.0
     output: DataFrame | None = field(default=None, repr=False)
     commit: object | None = None
+    warnings: list[str] = field(default_factory=list)
+
+
+# Per-row byte-size estimate for the Communication-style MB/s report
+# (the reference's Record.getByteSize analogue): exact for string/
+# binary payloads, fixed width for scalars, JSON-rendered length for
+# the rare nested column. Pure column arithmetic — rides the same
+# observe() pass as the row counters, no extra scan.
+_FIXED_BYTES = {
+    "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8, "float": 4,
+    "double": 8, "boolean": 1, "date": 4, "timestamp": 8, "timestamp_ntz": 8,
+}
+
+
+def _row_bytes(schema) -> Column:
+    parts = []
+    for f in schema.fields:
+        t = f.dataType.simpleString()
+        c = F.col(f.name)
+        if t in ("string", "binary"):
+            parts.append(F.coalesce(F.octet_length(c).cast("long"), F.lit(0)))
+        elif t in _FIXED_BYTES:
+            parts.append(F.lit(_FIXED_BYTES[t]).cast("long"))
+        elif t.startswith("decimal"):
+            parts.append(F.lit(16).cast("long"))
+        else:
+            parts.append(F.coalesce(F.octet_length(F.to_json(c)).cast("long"), F.lit(0)))
+    total = parts[0] if parts else F.lit(0).cast("long")
+    for p in parts[1:]:
+        total = total + p
+    return total
 
 
 # ------------------------------------------------------------------ readers
@@ -95,6 +134,9 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
         )
     elif name in ("jsonreader", "json"):
         df = spark.read.json(_paths(p))
+    elif name in ("orcreader", "orc"):
+        # hdfsreader fileType=orc ([UP hdfsreader/.../DFSUtil.java])
+        df = spark.read.orc(*_paths(p))
     elif name == "streamreader":
         # synthetic generator: column = [{"value": x, "type": t} |
         # {"random": "lo, hi", "type": "long"}], sliceRecordCount rows.
@@ -117,22 +159,7 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
             df = df.filter(p["where"])
         return df
     elif name in ("jdbcreader", "mysqlreader", "postgresqlreader", "rdbmsreader"):
-        opts = {
-            "url": p["jdbcUrl"] if isinstance(p.get("jdbcUrl"), str) else p["jdbcUrl"][0],
-            "dbtable": p.get("table", p.get("querySql")),
-        }
-        if "username" in p:
-            opts["user"] = p["username"]
-        if "password" in p:
-            opts["password"] = p["password"]
-        if "splitPk" in p:  # DataX splitPk → Spark partitioned JDBC read
-            opts["partitionColumn"] = p["splitPk"]
-            opts["lowerBound"] = str(p.get("lowerBound", 0))
-            opts["upperBound"] = str(p.get("upperBound", 1 << 31))
-            opts["numPartitions"] = str(p.get("channel", 8))
-        if "fetchSize" in p:
-            opts["fetchsize"] = str(p["fetchSize"])
-        df = spark.read.format("jdbc").options(**opts).load()
+        df = spark.read.format("jdbc").options(**jdbc_options(p)).load()
     elif name == "walreader":
         df = spark.read.option("pathGlobFilter", "*.parquet").parquet(p["path"])
     else:
@@ -147,6 +174,45 @@ def _paths(p: dict) -> list[str]:
     if path is None:
         raise JobConfigError("reader.parameter.path required")
     return path if isinstance(path, list) else [path]
+
+
+def jdbc_options(p: dict) -> dict:
+    """DataX rdbms-reader config → Spark JDBC options. Separate from
+    _read so it is unit-testable without a driver jar (the sandbox
+    ships none). querySql goes through Spark's `query` option (which
+    subquery-aliases it server-side) — NOT raw into dbtable, which
+    would be a syntax error on first contact with a real database;
+    with splitPk it must be a dbtable subquery instead, since Spark
+    rejects query+partitionColumn together."""
+    url = p["jdbcUrl"] if isinstance(p.get("jdbcUrl"), str) else p["jdbcUrl"][0]
+    opts = {"url": url}
+    query_sql = p.get("querySql")
+    if isinstance(query_sql, list):
+        query_sql = query_sql[0]
+    table = p.get("table")
+    if isinstance(table, list):
+        table = table[0]
+    if query_sql is not None:
+        if "splitPk" in p:
+            opts["dbtable"] = f"({query_sql}) dx_query"
+        else:
+            opts["query"] = query_sql
+    elif table is not None:
+        opts["dbtable"] = table
+    else:
+        raise JobConfigError("jdbcreader needs parameter.table or parameter.querySql")
+    if "username" in p:
+        opts["user"] = p["username"]
+    if "password" in p:
+        opts["password"] = p["password"]
+    if "splitPk" in p:  # DataX splitPk → Spark partitioned JDBC read
+        opts["partitionColumn"] = p["splitPk"]
+        opts["lowerBound"] = str(p.get("lowerBound", 0))
+        opts["upperBound"] = str(p.get("upperBound", 1 << 31))
+        opts["numPartitions"] = str(p.get("channel", 8))
+    if "fetchSize" in p:
+        opts["fetchsize"] = str(p["fetchSize"])
+    return opts
 
 
 # ------------------------------------------------------------- transformers
@@ -175,6 +241,22 @@ def _apply_transformers(df: DataFrame, transformers: list[dict]) -> DataFrame:
             # dx_groovy's declarative stand-in: a Spark SQL expression
             # over the current row (stays in codegen, unlike Groovy).
             df = df.withColumn(p.get("as", col), F.expr(p["expr"]))
+        elif name == "dx_python":
+            # dx_groovy's imperative stand-in reachable from a job
+            # SPEC: a named Arrow-vectorized pandas UDF registered via
+            # transforms.register_udf (never per-row Python).
+            from .transforms import UDF_REGISTRY
+
+            udf_name = p.get("udf")
+            if udf_name not in UDF_REGISTRY:
+                raise JobConfigError(
+                    f"dx_python udf {udf_name!r} not registered — call "
+                    "datax_spark.transforms.register_udf(name, out_type, fn) first"
+                )
+            in_cols = p.get("columns") or [col]
+            df = df.withColumn(
+                p.get("as", col), UDF_REGISTRY[udf_name](*[F.col(c) for c in in_cols])
+            )
         else:
             raise JobConfigError(f"unknown transformer {name!r}")
     return df
@@ -189,8 +271,16 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
     name = writer.get("name", "")
     p = writer.get("parameter", {})
     mode = _WRITE_MODES.get(p.get("writeMode", "append"), p.get("writeMode", "append"))
+    # preSql/postSql hooks ([UP plugin-rdbms-util/.../writer/WriterUtil.java]):
+    # the truncate-then-load / post-load-index idiom of nearly every
+    # production writer job. Statements run through spark.sql against
+    # the session catalog (temp views / managed tables).
+    for sql in p.get("preSql") or []:
+        spark.sql(sql)
     if name in ("parquetwriter", "hdfswriter"):
         df.write.mode(mode).parquet(p["path"])
+    elif name == "orcwriter":
+        df.write.mode(mode).orc(p["path"])
     elif name in ("txtfilewriter", "csvwriter", "osswriter", "ftpwriter"):
         (
             df.write.mode(mode)
@@ -210,6 +300,8 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
         _write_snapshot(spark, df, p, result)
     else:
         raise JobConfigError(f"unknown writer {name!r}")
+    for sql in p.get("postSql") or []:
+        spark.sql(sql)
 
 
 def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResult) -> None:
@@ -246,7 +338,12 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
 def run_job(spark: SparkSession, spec: dict) -> JobResult:
     """Execute one job spec (DataX job JSON shape). Returns counters —
     the analogue of the reference's end-of-job Communication report
-    ([UP core/.../statistics/communication/CommunicationTool.java])."""
+    ([UP core/.../statistics/communication/CommunicationTool.java]).
+
+    Row/byte counters ride observe() nodes on the single write pass —
+    the pipeline executes ONCE per entry, not once per counter. The
+    errorLimit is evaluated per entry (dirty delta vs that entry's own
+    rows), matching the reference's per-job ratio semantics."""
     import time as _time
 
     t0 = _time.monotonic()
@@ -259,19 +356,53 @@ def run_job(spark: SparkSession, spec: dict) -> JobResult:
         record=setting.get("errorLimit", {}).get("record"),
         percentage=setting.get("errorLimit", {}).get("percentage"),
     )
+    speed = setting.get("speed", {})
     result = JobResult()
+    for throttle in ("byte", "record"):
+        if speed.get(throttle) is not None:
+            msg = (
+                f"speed.{throttle} throttle is not supported on Spark (a batch "
+                "job runs at cluster speed); use speed.channel for parallelism "
+                "or the streaming path's maxFilesPerTrigger for rate control"
+            )
+            warnings.warn(msg, stacklevel=2)
+            result.warnings.append(msg)
     for entry in content:
+        obs_in, obs_out = Observation(), Observation()
         df = _read(spark, entry["reader"])
-        rows_in = df.count()
-        result.rows_read += rows_in
-        channels = setting.get("speed", {}).get("channel")
+        df = df.observe(
+            obs_in,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(_row_bytes(df.schema)).alias("bytes"),
+        )
+        channels = speed.get("channel")
         if channels:
             df = df.repartition(int(channels))
         df = _apply_transformers(df, entry.get("transformer"))
-        rows_out = df.count()
+        df = df.observe(
+            obs_out,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(_row_bytes(df.schema)).alias("bytes"),
+        )
+        writer = entry["writer"]
         dirty_before = result.dirty_records
-        _write(spark, df, entry["writer"], result)
-        result.rows_written += rows_out - (result.dirty_records - dirty_before)
-        limit.check(result.dirty_records, rows_in)
+        commit_before = result.commit
+        if writer.get("name") in ("memwriter", "streamwriter"):
+            # these sinks run no (or only a LIMIT-truncated) action of
+            # their own — drive one full pass here so the observed
+            # counters are complete (show()'s partial scan must not be
+            # the action that finalizes them)
+            df.count()
+        _write(spark, df, writer, result)
+        if result.commit is not commit_before and getattr(result.commit, "skipped", False):
+            df.count()  # exactly-once merge no-op ran no action; finalize counters
+        rows_in = int(obs_in.get["rows"])
+        rows_out = int(obs_out.get["rows"])
+        entry_dirty = result.dirty_records - dirty_before
+        result.rows_read += rows_in
+        result.bytes_read += int(obs_in.get["bytes"] or 0)
+        result.rows_written += rows_out - entry_dirty
+        result.bytes_written += int(obs_out.get["bytes"] or 0)
+        limit.check(entry_dirty, rows_in)
     result.wall_sec = _time.monotonic() - t0
     return result

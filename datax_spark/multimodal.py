@@ -74,27 +74,43 @@ def decode_media(
         [df.schema[c] for c in id_cols] + list(MEDIA_META_SCHEMA.fields)
     )
 
+    default_kernels = (
+        len(DECODERS) == 2
+        and DECODERS.get("image") is _fake_image_decode
+        and DECODERS.get("video") is _fake_video_decode
+    )
+
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                blob = getattr(rec, blob_col)
-                mt = getattr(rec, media_type_col)
-                meta = DECODERS.get(mt, _fake_image_decode)(blob)
-                rows.append(
-                    {
-                        **{c: getattr(rec, c) for c in id_cols},
-                        "media_type": mt,
-                        "n_bytes": len(blob),
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_frames": meta["n_frames"],
-                        "sha": hashlib.sha256(blob).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[*id_cols, *[f.name for f in MEDIA_META_SCHEMA]])
+            out = pdf[id_cols].copy()
+            n = pdf[blob_col].map(len).astype("int64")
+            out["media_type"] = pdf[media_type_col]
+            out["n_bytes"] = n
+            if default_kernels:
+                # Vectorized over the whole Arrow batch — the fakes'
+                # closed forms as numpy arithmetic; the only per-item
+                # call left is the hash kernel itself.
+                is_video = pdf[media_type_col].eq("video").to_numpy()
+                out["width"] = (n % 64 + 1).astype("int32")
+                out["height"] = ((n * 7) % 48 + 1).astype("int32")
+                out["n_frames"] = np.where(is_video, (n % 5 + 1), 1).astype("int32")
+            else:
+                # Swapped-in real codec kernels (PIL/ffmpeg) are
+                # inherently per-item — the loop lives here and ONLY
+                # here, inside the Arrow batch.
+                metas = [
+                    DECODERS.get(mt, _fake_image_decode)(blob)
+                    for mt, blob in zip(pdf[media_type_col], pdf[blob_col])
+                ]
+                out["width"] = pd.array([m["width"] for m in metas], dtype="int32")
+                out["height"] = pd.array([m["height"] for m in metas], dtype="int32")
+                out["n_frames"] = pd.array([m["n_frames"] for m in metas], dtype="int32")
+            out["sha"] = pdf[blob_col].map(lambda b: hashlib.sha256(b).hexdigest())
+            yield out
 
     return df.select(*in_cols).mapInPandas(_decode, out_schema)
 

@@ -272,12 +272,94 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.lookup({"repo": "u7", "path": "user/7"})
 
 
-@query("schema_evolution_replay")  # rows-only: input is a generated WAL, not an sf table
+# Schema-evolution epochs for the ORACLE-CHECKED replay: derived
+# deterministically from the events table (epoch = lsn quartile,
+# stars synthesized from lsn/user_id) so the whole fold — including
+# live column add / retype / drop — is ANSI-SQL-expressible. The
+# deeper fixture-WAL replay (segment files, late redeliveries) stays
+# in pytest (test_engine).
+_SEV_REGISTRY = [
+    {"epoch": 0, "change": "base",
+     "columns": {"commit_id": "string", "lang": "string", "content": "string"}},
+    {"epoch": 1, "change": "add stars:int",
+     "columns": {"commit_id": "string", "lang": "string", "content": "string",
+                 "stars": "int"}},
+    {"epoch": 2, "change": "retype stars:int->long",
+     "columns": {"commit_id": "string", "lang": "string", "content": "string",
+                 "stars": "long"}},
+    {"epoch": 3, "change": "drop lang",
+     "columns": {"commit_id": "string", "content": "string", "stars": "long"}},
+]
+
+_SEV_SQL = """
+WITH b AS (SELECT min(event_id) AS lo,
+                  max(event_id) - min(event_id) + 1 AS span FROM events),
+ev AS (
+  SELECT 'u' || CAST(user_id % 32 AS VARCHAR) AS repo,
+         'user/' || CAST(user_id AS VARCHAR) AS path,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         substr(sha256(CAST(user_id AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 8) AS commit_id,
+         props AS content,
+         least(3, CAST(((event_id - (SELECT lo FROM b)) * 4) // (SELECT span FROM b) AS INTEGER)) AS epoch,
+         (event_id * 31 + user_id) % 10000 AS stars_raw
+  FROM events
+),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev)
+SELECT repo, path, commit_id,
+       CAST(CASE WHEN epoch >= 1 THEN stars_raw END AS BIGINT) AS stars,
+       sha256(content) AS content_sha256
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("schema_evolution_replay", _SEV_SQL)
 def schema_evolution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live column add/retype/drop across epochs (SURVEY.md §2, north
-    rule): replay the deterministic fixture WAL through the engine;
-    pytest asserts equality vs the fixture's expected fold — here the
-    driver gets a stable rows/schema check."""
+    rule), fully oracle-checked: the events table becomes a 4-epoch
+    change stream (epoch = lsn quartile; stars appears at epoch 1 as
+    int, retypes to long at 2, lang drops at 3), applied as FOUR
+    separate micro-batches so every evolution step happens live
+    between commits. Epoch-0 winners surface with stars = NULL via
+    read-time alignment (no file rewrite); the oracle is the pure-SQL
+    LWW fold with the same epoch arithmetic."""
+    registry = EpochRegistry(_SEV_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    ev = load(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    span = int(hi) - int(lo) + 1
+    epoch = F.least(
+        F.lit(3), F.floor((F.col("lsn") - F.lit(int(lo))) * 4 / F.lit(span)).cast("int")
+    )
+    # stars exists on the WAL only from epoch 1 on (the column did not
+    # exist before); value = (lsn*31 + user_id) % 10000, user_id
+    # recovered from the synthesized key (path = 'user/<user_id>')
+    uid = F.split(F.col("path"), "/").getItem(1).cast("long")
+    changes = (
+        events_as_changes(ev)
+        .withColumn("schema_epoch", epoch)
+        .withColumn(
+            "stars",
+            F.when(F.col("schema_epoch") >= 1, (F.col("lsn") * 31 + uid) % 10000),
+        )
+    )
+    for e in range(4):
+        engine.apply_batch(
+            changes.filter(F.col("schema_epoch") == e), batch_id=f"epoch-{e}"
+        )
+    return table.snapshot().select(
+        "repo", "path", "commit_id", F.col("stars").cast("long").alias("stars"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+@query("schema_evolution_wal_replay")  # rows-only: input is a generated WAL, not an sf table
+def schema_evolution_wal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture-WAL twin of schema_evolution_replay: replays the
+    deterministic segment-file WAL (late redeliveries, per-segment
+    epoch boundaries) through the engine; pytest asserts equality vs
+    the fixture's expected fold — the driver gets a rows/schema check."""
     out = tempfile.mkdtemp(prefix="datax_sev_")
     fx = generate_wal(out, n_keys=60, n_events=400, n_segments=4, with_schema_evolution=True)
     registry = EpochRegistry.from_json(fx.schema_epochs_path)
@@ -1031,6 +1113,48 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_dedup_pairs(emb, threshold=0.4)
 
 
+_PLANES_SQL = """
+planes AS (
+  SELECT b, d,
+         strpos('0123456789abcdef',
+                substr(sha256('p' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+           - 1 - 7.5 AS w
+  FROM (SELECT unnest(range(0, 8)) AS b), (SELECT unnest(range(0, 64)) AS d)
+),
+comp AS (
+  SELECT e.vec_id, p.b, sum(p.w * CAST(e.embedding[p.d + 1] AS DOUBLE)) AS proj
+  FROM embeddings e, planes p GROUP BY 1, 2
+),
+bucketed AS (
+  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM comp GROUP BY vec_id
+)
+"""
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    f"""
+WITH {_PLANES_SQL},
+a AS (SELECT b.vec_id AS id_a, e.embedding AS qv, b.bucket
+      FROM bucketed b JOIN embeddings e USING (vec_id)),
+c AS (SELECT b.vec_id AS id_b, e.embedding AS cv, b.bucket
+      FROM bucketed b JOIN embeddings e USING (vec_id)),
+s AS (SELECT id_a, id_b, round({_COS_SQL}, 4) AS cosine
+      FROM a JOIN c ON a.bucket = c.bucket AND id_a < id_b)
+SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+""",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding dedup, first-class and
+    oracle-checked: sign-LSH blocking (simsearch.lsh_cosine_dedup_pairs)
+    — candidates share a bucket, pair math identical to the exact
+    baseline. The all-pairs dedup_embedding_cosine stays as the
+    small-sf exact baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.lsh_cosine_dedup_pairs(emb, threshold=0.4)
+
+
 @query(
     "ann_lsh_buckets",
     """
@@ -1054,25 +1178,6 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes → 256 buckets; computed map-side, no shuffle at all."""
     emb = load(spark, sf_dir, "embeddings")
     return emb.select("vec_id", simsearch.lsh_bucket("embedding", 8, 64).alias("bucket"))
-
-
-_PLANES_SQL = """
-planes AS (
-  SELECT b, d,
-         strpos('0123456789abcdef',
-                substr(sha256('p' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
-           - 1 - 7.5 AS w
-  FROM (SELECT unnest(range(0, 8)) AS b), (SELECT unnest(range(0, 64)) AS d)
-),
-comp AS (
-  SELECT e.vec_id, p.b, sum(p.w * CAST(e.embedding[p.d + 1] AS DOUBLE)) AS proj
-  FROM embeddings e, planes p GROUP BY 1, 2
-),
-bucketed AS (
-  SELECT vec_id, CAST(sum(CASE WHEN proj > 0 THEN power(2, b) ELSE 0 END) AS BIGINT) AS bucket
-  FROM comp GROUP BY vec_id
-)
-"""
 
 
 @query(

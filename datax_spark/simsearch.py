@@ -136,6 +136,38 @@ def lsh_ann_topk(
     )
 
 
+def lsh_cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-blocked — the 100 TB path: bucket
+    every vector by sign-LSH signature (map-side, zero shuffle), then
+    enumerate and score pairs ONLY within buckets. One uniform
+    hash-bucket self-join replaces the O(N²) cross product; per-pair
+    math identical to cosine_dedup_pairs (same rounding, same
+    threshold), so results are the exact-baseline's pairs restricted
+    to bucket collisions — the standard LSH recall trade, and
+    oracle-checkable because the planes are sha256-derived."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        as_double(vec_col).alias("v"),
+        lsh_bucket(vec_col, n_planes, n_dims).alias("bucket"),
+    )
+    a = b.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("v").alias("va"))
+    c = b.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(c, on=["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

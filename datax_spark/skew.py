@@ -20,25 +20,45 @@ partition before the shuffle (see table.SnapshotTable.merge).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 
 def hot_keys(
-    df: DataFrame, cols: list[str], threshold_frac: float = 0.01, max_keys: int = 1000
+    df: DataFrame,
+    cols: list[str],
+    threshold_frac: float = 0.01,
+    max_keys: int = 1000,
+    sample_frac: float | None = 0.1,
 ) -> list[tuple]:
     """Keys carrying more than threshold_frac of all rows — the
-    candidates worth salting. One partial-agg pass; the result is
-    bounded (≤ 1/threshold_frac keys can exceed the threshold)."""
-    total = df.count()
+    candidates worth salting (bounded: ≤ 1/threshold_frac keys can
+    exceed the threshold).
+
+    Frequencies are estimated from ONE pass over a sample (seeded, so
+    plans are stable): a key at k× the threshold appears in a
+    sample of s rows ~Binomial(s, k·threshold_frac) times, so with
+    threshold_frac ≥ 0.005 even a 0.1% sample of a 10^9-row fact sees
+    a truly-hot key thousands of times — two full fact scans to find
+    ≤100 keys is the cost that doubles an adaptive join at 100 TB.
+    The total row count rides an observe() on the same pass (no
+    separate count job). Misclassification is a perf wobble, never a
+    correctness issue: adaptive_salted_join is exact for ANY hot set.
+    sample_frac=None or ≥1 disables sampling (exact counts)."""
+    s = df if not sample_frac or sample_frac >= 1 else df.sample(
+        fraction=sample_frac, seed=42
+    )
+    obs = Observation()
+    s = s.observe(obs, F.count(F.lit(1)).alias("n"))
     rows = (
-        df.groupBy(*cols)
+        s.groupBy(*cols)
         .count()
-        .filter(F.col("count") > total * threshold_frac)
         .orderBy(F.desc("count"))
         .limit(max_keys)
         .collect()
     )
-    return [tuple(r[c] for c in cols) for r in rows]
+    total = obs.get["n"]
+    cutoff = total * threshold_frac
+    return [tuple(r[c] for c in cols) for r in rows if r["count"] > cutoff]
 
 
 def with_salt(df: DataFrame, n_salt: int, salt_col: str = "_salt",
@@ -82,14 +102,16 @@ def adaptive_salted_join(
     threshold_frac: float = 0.01,
     how: str = "inner",
     fact_salt_from: str | None = None,
+    sample_frac: float | None = 0.1,
 ) -> DataFrame:
     """Salt ONLY detected hot keys: cold keys join with salt 0, hot
     keys spread over n_salt. Dim replication cost scales with the hot
     set (bounded by 1/threshold_frac keys), not |dim| — at a 10^9-row
     dimension, full explode_salt is n_salt× the dim shuffle; this is
     |dim| + (n_salt−1)·|hot|. Result identical to the plain join for a
-    key-unique dim."""
-    hot = hot_keys(fact, on, threshold_frac=threshold_frac)
+    key-unique dim — for ANY detected hot set, so the sampled detector
+    can never change the answer, only the partition balance."""
+    hot = hot_keys(fact, on, threshold_frac=threshold_frac, sample_frac=sample_frac)
     if not hot:
         return fact.join(dim, on=on, how=how)
     hot_df = F.broadcast(

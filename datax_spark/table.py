@@ -369,13 +369,19 @@ class SnapshotTable:
         key_cols = cur["key_cols"]
         if set(key) != set(key_cols):
             raise ValueError(f"lookup needs the full key {key_cols}, got {sorted(key)}")
+        # Cast each literal to the TABLE's column type before hashing:
+        # Murmur3 hashes IntegerType and LongType differently, so an
+        # int literal against a long-keyed table would hash to the
+        # wrong bucket and silently return nothing.
+        schema = T.StructType.fromJson(cur["schema"])
+        typed = {c: F.lit(key[c]).cast(schema[c].dataType) for c in key_cols}
         row = self.spark.range(1).select(
-            *[F.lit(key[c]).alias(c) for c in key_cols]
+            *[typed[c].alias(c) for c in key_cols]
         ).select(bucket_expr(key_cols, cur["num_buckets"]).alias("b")).collect()
         bucket = row[0]["b"]
         df = self._read_manifest(cur, buckets=[bucket]).drop(LSN_COL)
         for c in key_cols:
-            df = df.filter(F.col(c) == key[c])
+            df = df.filter(F.col(c) == F.lit(key[c]).cast(schema[c].dataType))
         return df
 
     # ---------- schema evolution ----------
@@ -435,6 +441,20 @@ class SnapshotTable:
         # (≤ num_buckets ints) — NOT a data collect. The engine passes
         # it in (piggybacked on its lineage-stats pass) so the batch is
         # scanned exactly twice total: stats + the merge write.
+        # A caller-supplied set is VERIFIED, not trusted: a bucket it
+        # misses would make the write replace that bucket's manifest
+        # entry with only the batch's rows (silent loss) or silently
+        # skip a delete. Detection is free: every update row already
+        # materializes its bucket as a partition dir of the write —
+        # except delete-winners, which are filtered out pre-write, so
+        # those are KEPT in the output when their bucket is outside
+        # the claimed set (never true for a correct caller). Any stray
+        # dir then shows up in the post-write listdir, and the merge
+        # fails BEFORE the commit rename (the orphan data dir is
+        # reclaimed by vacuum) — a bad set can never corrupt the table.
+        # (Not an observe() guard: Observation.get never resolves for
+        # actions inside foreachBatch — the micro-batch runs on a
+        # cloned SparkSession.)
         if affected_buckets is not None:
             affected = sorted(set(affected_buckets))
         else:
@@ -466,9 +486,13 @@ class SnapshotTable:
             .agg(F.max_by(payload, F.struct(F.col(LSN_COL), F.col("_pref"))).alias("w"))
             .select(*[F.col(f"w.{c}").alias(c) for c in data_cols + [LSN_COL, op_col, BUCKET_COL]])
         )
-        survivors = winners.filter(
-            (F.col(op_col).isNull()) | (F.col(op_col) != F.lit("D"))
-        ).drop(op_col)
+        keep = (F.col(op_col).isNull()) | (F.col(op_col) != F.lit("D"))
+        if affected_buckets is not None:
+            # bucket-set guard: a delete-winner outside the claimed set
+            # stays in the output purely so its bucket dir betrays the
+            # bad set below; a correct caller never matches this arm
+            keep = keep | ~F.col(BUCKET_COL).isin(affected)
+        survivors = winners.filter(keep).drop(op_col)
 
         # Rewrite only affected buckets. Partition count = bucket count
         # (not spark.sql.shuffle.partitions): each write task owns ~one
@@ -488,7 +512,6 @@ class SnapshotTable:
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-
         manifest = dict(cur["manifest"])
         written = set()
         for entry in os.listdir(out_dir):
@@ -496,6 +519,15 @@ class SnapshotTable:
                 b = int(entry.split("=", 1)[1])
                 manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
                 written.add(b)
+        if affected_buckets is not None:
+            stray = written - set(affected)
+            if stray:
+                raise ValueError(
+                    f"affected_buckets {affected} misses buckets {sorted(stray)} that "
+                    "the batch actually touches — caller computed the set on different "
+                    "key values/types than the post-align batch (commit aborted; "
+                    "orphan dir left for vacuum)"
+                )
         for b in affected:  # bucket emptied entirely (all rows deleted)
             if b not in written and str(b) in manifest:
                 del manifest[str(b)]

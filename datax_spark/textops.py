@@ -283,24 +283,59 @@ def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
 
 # -------------------------------------------------------- n-gram Jaccard
 
+def jaccard_candidate_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: list[str] | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exploded (id, group…, n_tok, token) rows feeding the Jaccard
+    self-join, with an optional document-frequency cap: tokens present
+    in more than max_df docs of a block are DROPPED before the join
+    (positional-filtering trick). One token shared by n docs emits n²
+    join rows, so a stopword-grade token inside a big block is a
+    quadratic blowup; the cap bounds the fan-out of any single token
+    to max_df² at the cost of undercounting intersections for pairs
+    whose only overlap is ubiquitous tokens (which Jaccard would
+    score near 0 anyway). n_tok stays the FULL token count, so scores
+    of surviving pairs are exact unless a dropped token was shared."""
+    group_cols = group_cols or []
+    base = df.select(
+        F.col(id_col), *group_cols, F.array_distinct(tokens(text_col)).alias("tok")
+    ).withColumn("n_tok", F.size("tok"))
+    ex = base.select(id_col, *group_cols, "n_tok", F.explode("tok").alias("t"))
+    if max_df is not None:
+        allowed = (
+            ex.groupBy(*group_cols, "t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select(*group_cols, "t")
+        )
+        ex = ex.join(allowed, on=[*group_cols, "t"], how="left_semi")
+    return ex
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
     threshold: float = 0.5,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """Word-set Jaccard similarity for candidate pairs within the same
     group (blocking keys bound the pair explosion — at 100 TB you
-    never all-pairs; group_cols or an LSH bucket supplies candidates).
+    never all-pairs; group_cols or an LSH bucket supplies candidates),
+    with a document-frequency cap bounding per-token join fan-out
+    (see jaccard_candidate_tokens; max_df=None disables).
 
     |A∩B| via explode-distinct-token join + count; |A∪B| = |A|+|B|−∩.
     """
     group_cols = group_cols or []
-    base = df.select(
-        F.col(id_col), *group_cols, F.array_distinct(tokens(text_col)).alias("tok")
-    ).withColumn("n_tok", F.size("tok"))
-    ex = base.select(id_col, *group_cols, "n_tok", F.explode("tok").alias("t"))
+    ex = jaccard_candidate_tokens(
+        df, text_col=text_col, id_col=id_col, group_cols=group_cols, max_df=max_df
+    )
     a, b = ex.alias("a"), ex.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & (F.col("a.t") == F.col("b.t"))
     for g in group_cols:

@@ -112,6 +112,18 @@ def vectorized(out_type: str, fn: Callable[..., pd.Series]):
     return F.pandas_udf(out_type)(fn)
 
 
+# Named-UDF registry: makes `vectorized` reachable from a job SPEC
+# (job.py's dx_python transformer) — the reference ships dx_groovy in
+# the job JSON; our escape hatch is a registered pandas UDF.
+UDF_REGISTRY: dict[str, object] = {}
+
+
+def register_udf(name: str, out_type: str, fn: Callable[..., pd.Series]) -> None:
+    """Register an Arrow-vectorized UDF under `name` for use by job
+    specs: {"name": "dx_python", "parameter": {"udf": name, ...}}."""
+    UDF_REGISTRY[name] = vectorized(out_type, fn)
+
+
 # ------------------------------------------------- pipeline + dirty data
 
 

@@ -157,7 +157,8 @@ def test_engine_quarantine_and_error_limit(spark, tmp_path):
     assert q.count() == 10
     assert t1.current()["metrics"].get("n_dirty") == 10
 
-    # strict limit: batch aborts, NOTHING committed
+    # strict limit: batch aborts, NOTHING committed — not even
+    # quarantine rows (an aborted batch replays with zero residue)
     loc2 = str(tmp_path / "q2")
     t2 = SnapshotTable.create(spark, loc2, reg.schema_for(0),
                               key_cols=["repo", "path"], num_buckets=4)
@@ -167,11 +168,26 @@ def test_engine_quarantine_and_error_limit(spark, tmp_path):
         e2.apply_batch(batch, batch_id="b0")
     assert t2.current()["version"] == 0
     assert t2.snapshot().count() == 0
+    assert not os.path.isdir(os.path.join(loc2, "_quarantine"))
     # replay after fixing the limit converges
     e3 = CDCEngine(spark, t2, reg, ok_condition=ok,
                    error_limit=ErrorLimit(percentage=0.5))
     e3.apply_batch(batch, batch_id="b0")
     assert t2.snapshot().count() == 90
+    # quarantine is idempotent per batch: simulate a crash-replay of the
+    # SAME batch (ledger reset) → overwrite, not append
+    import json
+    cpath = os.path.join(loc2, "_commits", "v000000000001.json")
+    with open(cpath) as f:
+        rec = json.load(f)
+    rec["batch_ids"] = []
+    with open(cpath, "w") as f:
+        json.dump(rec, f)
+    e4 = CDCEngine(spark, SnapshotTable.load(spark, loc2), reg, ok_condition=ok,
+                   error_limit=ErrorLimit(percentage=0.5))
+    e4.apply_batch(batch, batch_id="b0")
+    q2 = spark.read.parquet(os.path.join(loc2, "_quarantine"))
+    assert q2.count() == 10  # NOT 20
 
 
 def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):

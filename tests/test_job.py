@@ -189,3 +189,116 @@ def test_example_job_specs_run(spark, tmp_path):
             spec = json.load(f)
         r = run_job(spark, spec)
         assert r.rows_read > 0, path
+
+
+def test_counters_and_bytes_single_pass(spark, tmp_path):
+    """Row/byte counters ride observe() on the one write pass; bytes
+    approximate the reference's Record.getByteSize (string payload =
+    octet length)."""
+    out = str(tmp_path / "obs_out")
+    r = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/documents.parquet",
+                                 "column": ["doc_id", "text"]}},
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": out, "writeMode": "truncate"}},
+    }]}})
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    text_bytes = docs.agg(F.sum(F.octet_length("text"))).collect()[0][0]
+    assert r.rows_read == n and r.rows_written == n
+    assert r.bytes_read == text_bytes + 8 * n  # text octets + 8/bigint
+    assert r.bytes_written == r.bytes_read  # no transformer changed the shape
+
+
+def test_orc_roundtrip_with_pre_post_sql(spark, tmp_path):
+    """ORC reader/writer + preSql/postSql hooks: preSql prepares a
+    catalog object, postSql records completion — and the job is
+    idempotent when rerun (the truncate-then-load idiom)."""
+    orc_dir = str(tmp_path / "orc")
+    spec = {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/nation.parquet"}},
+        "writer": {"name": "orcwriter",
+                   "parameter": {"path": orc_dir, "writeMode": "truncate",
+                                 "preSql": ["DROP VIEW IF EXISTS job_done"],
+                                 "postSql": ["CREATE TEMP VIEW job_done AS SELECT 1 AS ok"]}},
+    }]}}
+    r1 = run_job(spark, spec)
+    r2 = run_job(spark, spec)  # rerun: preSql drops, truncate overwrites
+    n = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert r1.rows_written == n and r2.rows_written == n
+    assert spark.read.orc(orc_dir).count() == n  # not doubled
+    assert spark.table("job_done").collect()[0]["ok"] == 1
+
+    back = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "orcreader", "parameter": {"path": orc_dir}},
+        "writer": {"name": "memwriter", "parameter": {"view": "orc_back"}},
+    }]}})
+    assert back.rows_read == n
+
+
+def test_jdbc_options_mapping():
+    """querySql must reach Spark as the `query` option (or a dbtable
+    subquery when splitPk forces partitionColumn) — never raw dbtable."""
+    from datax_spark.job import jdbc_options
+
+    base = {"jdbcUrl": ["jdbc:postgresql://h/db"], "username": "u", "password": "p"}
+    o1 = jdbc_options({**base, "table": "t1", "splitPk": "id", "fetchSize": 500})
+    assert o1["dbtable"] == "t1" and o1["partitionColumn"] == "id"
+    assert o1["numPartitions"] == "8" and o1["fetchsize"] == "500"
+    assert o1["user"] == "u" and o1["url"] == "jdbc:postgresql://h/db"
+
+    o2 = jdbc_options({**base, "querySql": "SELECT a, b FROM t WHERE a > 0"})
+    assert o2["query"] == "SELECT a, b FROM t WHERE a > 0"
+    assert "dbtable" not in o2
+
+    o3 = jdbc_options({**base, "querySql": ["SELECT * FROM t"], "splitPk": "a"})
+    assert o3["dbtable"] == "(SELECT * FROM t) dx_query"  # Spark rejects query+partitionColumn
+    assert "query" not in o3
+
+    with pytest.raises(JobConfigError):
+        jdbc_options(base)
+
+
+def test_dx_python_registered_udf(spark):
+    """The dx_groovy analogue reachable from a job SPEC: a registered
+    Arrow-vectorized pandas UDF by name."""
+    from datax_spark.transforms import register_udf
+
+    register_udf("tok_count", "long", lambda s: s.str.split(" ").str.len())
+    r = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/documents.parquet",
+                                 "column": ["doc_id", "text"]}},
+        "transformer": [{"name": "dx_python",
+                         "parameter": {"udf": "tok_count", "columnName": "text",
+                                       "as": "n_tok"}}],
+        "writer": {"name": "memwriter", "parameter": {"view": "dxp_out"}},
+    }]}})
+    out = spark.table("dxp_out")
+    row = out.first()
+    assert row["n_tok"] == len(row["text"].split(" "))
+    with pytest.raises(JobConfigError):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "parquetreader",
+                       "parameter": {"path": f"{SF}/region.parquet"}},
+            "transformer": [{"name": "dx_python", "parameter": {"udf": "nope"}}],
+            "writer": {"name": "memwriter", "parameter": {}},
+        }]}})
+
+
+def test_speed_throttles_warn_not_silent(spark):
+    """speed.byte / speed.record are unsupported on Spark — the job
+    must SAY so (reference jobs rely on them), not silently ignore."""
+    r = run_job(spark, {"job": {
+        "content": [{
+            "reader": {"name": "parquetreader",
+                       "parameter": {"path": f"{SF}/region.parquet"}},
+            "writer": {"name": "memwriter", "parameter": {"view": "sp_out"}},
+        }],
+        "setting": {"speed": {"channel": 2, "byte": 1048576, "record": 10000}},
+    }})
+    assert len(r.warnings) == 2
+    assert any("speed.byte" in w for w in r.warnings)
+    assert any("speed.record" in w for w in r.warnings)

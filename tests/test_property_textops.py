@@ -79,3 +79,43 @@ def test_fingerprint_matches_model(spark, docs):
            df.select("doc_id", textops.doc_fingerprint("text").alias("fp")).collect()}
     for i, t in enumerate(docs):
         assert got[i] == model_fingerprint(t), (i, t)
+
+
+def test_jaccard_df_cap_bounds_fanout(spark):
+    """Adversarial common-token corpus: every doc shares one stopword-
+    grade token, so the uncapped explode-join emits ~n² rows for that
+    token alone. With max_df, the candidate-token table drops it
+    entirely (bounded join fan-out) while distinctive tokens survive,
+    and near-dup pairs are still found."""
+    from pyspark.sql import functions as F
+
+    n = 40
+    docs = [(i, f"common uniq{i} uniq{i}b") for i in range(n)]
+    docs[1] = (1, "common uniq0 uniq0b")  # near-dup of doc 0
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    ex_uncapped = textops.jaccard_candidate_tokens(df, max_df=None)
+    ex_capped = textops.jaccard_candidate_tokens(df, max_df=5)
+    # 'common' (df = n) is gone; per-token fan-out now bounded by max_df
+    assert ex_uncapped.filter(F.col("t") == "common").count() == n
+    assert ex_capped.filter(F.col("t") == "common").count() == 0
+    per_tok = ex_capped.groupBy("t").count().agg(F.max("count")).collect()[0][0]
+    assert per_tok <= 5
+    # the true near-dup pair survives the cap: docs 0/1 share uniq0,
+    # uniq0b (df=2 each) → intersection 2 of union 4... plus 'common'
+    # dropped from BOTH the intersection; n_tok stays full (3), so
+    # jaccard = 2/(3+3-2) = 0.5
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in textops.jaccard_pairs(df, threshold=0.5, max_df=5).collect()}
+    assert pairs == {(0, 1): 0.5}
+
+
+def test_jaccard_capped_equals_uncapped_when_df_below_cap(spark):
+    """With the cap above every token's actual df, results are
+    IDENTICAL to the uncapped operator (the production default keeps
+    the driver oracle exact)."""
+    docs = [(i, f"alpha beta w{i % 3} w{i % 5}") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_capped = sorted(map(tuple, textops.jaccard_pairs(df, threshold=0.3, max_df=1000).collect()))
+    got_plain = sorted(map(tuple, textops.jaccard_pairs(df, threshold=0.3, max_df=None).collect()))
+    assert got_capped == got_plain and len(got_capped) > 0

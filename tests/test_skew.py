@@ -98,3 +98,36 @@ def test_adaptive_salting_no_hot_keys_falls_back(spark):
     dim = _dim(spark)
     out = adaptive_salted_join(fact, dim, on=["k"], threshold_frac=0.5)
     assert out.count() == 1000
+
+
+def test_hot_key_detection_sampled(spark):
+    """The sampled detector (one pass over a seeded sample, total via
+    observe — no full-table count) still finds the Zipf head; exact
+    mode (sample_frac=None) agrees."""
+    fact = _skewed_fact(spark, n=50_000)
+    assert hot_keys(fact, ["k"], threshold_frac=0.1, sample_frac=0.05) == [(0,)]
+    assert hot_keys(fact, ["k"], threshold_frac=0.1, sample_frac=None) == [(0,)]
+
+
+def test_merge_balances_zipf_wal_without_salting(spark, tmp_path):
+    """The MERGE path's claim (skew.py header): LWW max_by partial-agg
+    collapses a hot key's events map-side, and the bucket hash over
+    the FULL key spreads hot-repo keys, so a Zipf-hot WAL needs no
+    salting — per-bucket row spread through a real merge stays tight."""
+    from datax_spark.engine import replay_wal_as_table
+    from datax_spark.fixtures import generate_wal
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import bucket_expr
+
+    fx = generate_wal(str(tmp_path / "w"), n_keys=300, n_events=6000,
+                      n_segments=4, with_schema_evolution=False)
+    reg = EpochRegistry.from_json(fx.schema_epochs_path)
+    t = replay_wal_as_table(spark, fx.wal_dir, reg, str(tmp_path / "t"), num_buckets=8)
+    counts = [
+        r["n"] for r in t.snapshot()
+        .withColumn("b", bucket_expr(["repo", "path"], 8))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    mean = sum(counts) / len(counts)
+    assert len(counts) == 8
+    assert max(counts) < 2.5 * mean, counts

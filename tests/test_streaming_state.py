@@ -55,7 +55,7 @@ def test_audit_state_spans_batches(spark, tmp_path):
     assert final[1]["max_lsn"] == 6
     assert final[1]["n_gaps"] == 1          # 2 → 5 across the batch boundary
     assert final[1]["n_redelivered"] == 0
-    assert final[2]["n_events"] == 2        # 10, 11 (dup 10 not recounted)
+    assert final[2]["n_events"] == 3        # 10 | 10, 11 — every arrival counts
     assert final[2]["n_redelivered"] == 1   # 10 re-delivered in batch 2
     assert final[2]["n_gaps"] == 0
     assert final[3]["n_events"] == 1 and final[3]["n_gaps"] == 0

@@ -384,3 +384,61 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     snap = SnapshotTable.load(spark, loc).snapshot()
     assert snap.filter(F.col("content") == "a").count() == 5
     assert snap.filter(F.col("content") == "b").count() == 5
+
+
+def test_lookup_casts_key_literal_to_table_type(spark, tmp_path):
+    """A long-keyed table looked up with a Python int must hash to the
+    RIGHT bucket: Murmur3 hashes IntegerType and LongType differently,
+    so the literal is cast to the table's column type before hashing
+    (the shipped upsert_documents.json spec hits exactly this)."""
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "lk")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["doc_id"], num_buckets=16)
+    batch = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    t.merge(batch, batch_id="b")
+    for k in (0, 7, 42, 199):
+        rows = t.lookup({"doc_id": k}).collect()  # plain Python int
+        assert len(rows) == 1 and rows[0]["text"] == f"t{k}"
+
+
+def test_merge_rejects_wrong_affected_buckets(spark, tmp_path):
+    """A caller-supplied affected_buckets set that misses buckets the
+    batch actually touches must FAIL the merge before commit — the
+    alternative is silently replacing a bucket's manifest entry with
+    only the batch's rows (data loss)."""
+    import pytest
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "guard")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=8)
+
+    def batch(tag, n, lsn0):
+        return spark.range(n).select(
+            F.lit("r").alias("repo"), F.concat(F.lit(tag), F.col("id")).alias("path"),
+            F.lit(tag).alias("content"), (F.col("id") + lsn0).alias("lsn"),
+            F.lit("U").alias("op"))
+
+    t.merge(batch("a", 50, 0), batch_id="b1")
+    before = t.snapshot().count()
+    v_before = t.current()["version"]
+    with pytest.raises(ValueError, match="affected_buckets"):
+        # 50 keys hash across all 8 buckets; claiming only bucket 0
+        t.merge(batch("b", 50, 100), batch_id="b2", affected_buckets=[0])
+    # nothing committed, table state intact
+    assert t.current()["version"] == v_before
+    assert t.snapshot().count() == before
+    # correct set (or None → self-derived) still works
+    t.merge(batch("b", 50, 100), batch_id="b2")
+    assert t.snapshot().count() == before + 50
