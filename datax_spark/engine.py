@@ -173,15 +173,23 @@ class CDCEngine:
         available_now: bool = True,
         on_batch=None,
         wal_format: str = "parquet",
+        max_bytes_per_trigger: int | None = None,
     ):
         """Tail the WAL directory. available_now=True drains everything
         currently present then stops (bounded replay); restart with the
         same checkpoint resumes exactly where it left off. The WAL may
         be parquet (default), json lines, or csv — binlog shippers
-        commonly emit json (e.g. Debezium-style dumps)."""
-        stream = self._wal_reader(self.spark.readStream, wal_format).option(
-            "maxFilesPerTrigger", str(max_files_per_trigger)
-        )
+        commonly emit json (e.g. Debezium-style dumps).
+
+        Rate control: max_files_per_trigger bounds batch size by file
+        count; max_bytes_per_trigger (the reference's speed.byte
+        analogue) bounds it by input bytes instead — Spark's file
+        source takes whole files up to the cap, so it is a soft limit."""
+        stream = self._wal_reader(self.spark.readStream, wal_format)
+        if max_bytes_per_trigger is not None:
+            stream = stream.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+        else:
+            stream = stream.option("maxFilesPerTrigger", str(max_files_per_trigger))
         stream = getattr(stream, wal_format)(wal_dir)
 
         def _apply(df: DataFrame, epoch_id: int) -> None:

@@ -361,9 +361,10 @@ def run_job(spark: SparkSession, spec: dict) -> JobResult:
     for throttle in ("byte", "record"):
         if speed.get(throttle) is not None:
             msg = (
-                f"speed.{throttle} throttle is not supported on Spark (a batch "
-                "job runs at cluster speed); use speed.channel for parallelism "
-                "or the streaming path's maxFilesPerTrigger for rate control"
+                f"speed.{throttle} throttle is not supported on a BATCH Spark "
+                "job (it runs at cluster speed); use speed.channel for "
+                "parallelism, or the streaming path's max_bytes_per_trigger / "
+                "max_files_per_trigger (CDCEngine.run_stream) for rate control"
             )
             warnings.warn(msg, stacklevel=2)
             result.warnings.append(msg)

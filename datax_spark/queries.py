@@ -374,6 +374,37 @@ def schema_evolution_wal_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_TT_SQL = f"""
+WITH ev AS ({_EV_SQL}),
+mid AS (SELECT (min(lsn) + max(lsn)) // 2 AS m FROM ev),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn
+      FROM ev WHERE lsn < (SELECT m FROM mid))
+SELECT repo, path, commit_id, lang, sha256(content) AS content_sha256
+FROM w WHERE rn = 1 AND op <> 'D'
+"""
+
+
+@query("cdc_time_travel", _CDC_TT_SQL)
+def cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel (SnapshotTable.snapshot(version=v)): apply the
+    stream in two batches, then read the MID-STREAM snapshot version
+    after the table has moved past it. Oracle = the LWW fold truncated
+    at the midpoint — proves retained snapshots stay byte-stable under
+    later commits."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+    engine.apply_batch(changes.filter(F.col("lsn") < mid), batch_id="b1")
+    v1 = table.current()["version"]
+    engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    return table.snapshot(version=v1).select(
+        "repo", "path", "commit_id", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
 _LWW_ORACLE = """
 WITH w AS (SELECT user_id, event_id, event_type, value,
                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -752,6 +783,110 @@ def skew_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube_volume",
+    """
+SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+""",
+)
+def agg_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE grouping sets (segment × status, all margins + grand
+    total) in one pass — the other half of ROLLUP's grouping-set
+    coverage (SURVEY.md §2.5)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = F.broadcast(load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "window_running_spend",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS running_spend
+FROM orders
+""",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate (running per-customer spend in
+    order-key order) — the frame-based window shape (§2.6); decimal-
+    space accumulation keeps the prefix sums bit-identical across
+    engines at every row."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("decimal(28,2)").cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "event_sessionize",
+    """
+WITH o AS (SELECT user_id, event_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, event_id,
+             CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id)
+                  AS BIGINT) AS session_id
+      FROM m)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_id
+""",
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the canonical event-pipeline operator: a new
+    session starts after a >30-min gap per user; session ids via the
+    lag → flag → running-sum window composition, then one grouped
+    rollup per session. All built-ins, two window passes over one
+    shuffle partition layout (same partition key, same ordering —
+    Spark reuses the sort)."""
+    ev = load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w_ord).alias("prev")
+    ).select(
+        "user_id", "event_id",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id", "event_id",
+        F.sum("new_sess").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+@query(
     "window_top_orders",
     """
 WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1003,6 +1138,43 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_pii",
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+           AS raw
+  FROM documents
+)
+SELECT doc_id,
+       sha256(lower(trim(regexp_replace(raw, '\\s+', ' ', 'g')))) AS norm_sha,
+       regexp_replace(regexp_replace(raw, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{textops.IP_RE}', '<IP>', 'g') AS redacted
+FROM t
+""",
+)
+def text_normalize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-stage normalization + PII scrub: whitespace/case
+    canonicalization (hashed, it feeds exact dedup) and email/IPv4
+    redaction. The fixture text carries no PII, so a deterministic
+    contact line is appended first — the regexes must then remove it
+    identically in both engines (Java regex vs RE2, same pattern
+    source textops.EMAIL_RE/IP_RE)."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"), F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    return docs.select(
+        "doc_id",
+        F.sha2(textops.normalize_text(raw), 256).alias("norm_sha"),
+        textops.redact_pii(raw).alias("redacted"),
+    )
+
+
+@query(
     "doc_fingerprint",
     f"""
 WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),
@@ -1202,6 +1374,39 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Fully oracle-checked including the approximation."""
     emb = load(spark, sf_dir, "embeddings")
     return simsearch.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ann_ivf_topk",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+sc AS (SELECT e.vec_id, c.cid, {_COS_SQL} AS cos
+       FROM (SELECT vec_id, embedding AS qv FROM embeddings) e, cent c),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM sc),
+assign AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1),
+q AS (SELECT a.vec_id AS query_id, e.embedding AS qv, a.cell
+      FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 10),
+c2 AS (SELECT a.vec_id AS neighbor_id, e.embedding AS cv, a.cell
+       FROM assign a JOIN embeddings e USING (vec_id)),
+s AS (SELECT query_id, neighbor_id, {_COS_SQL} AS cos
+      FROM q JOIN c2 ON q.cell = c2.cell AND c2.neighbor_id <> q.query_id),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank FROM rr WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed approximate top-k (simsearch.ivf_ann_topk,
+    nprobe=1): broadcast centroid assignment → per-cell exact search.
+    Complements the sign-LSH path with a data-adaptive index; the
+    deterministic centroid seed set makes the whole index
+    oracle-reproducible."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16
+    )
 
 
 # =====================================================================

@@ -136,6 +136,76 @@ def lsh_ann_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (deterministic tie-break on centroid id).
+    Centroids are broadcast (K is small by definition), so assignment
+    is a map-side O(N·K) pass — the standard inverted-file build.
+    Returns (id_col, cell)."""
+    c = centroids.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cv")
+    )
+    v = df.select(F.col(id_col).alias("_vid"), as_double(vec_col).alias("_v"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "_cos", cosine(F.col("_v"), F.col("cv"))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.desc("_cos"), F.asc("cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("_vid").alias(id_col), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF index (nprobe=1): vectors are
+    bucketed by nearest centroid (ivf_assign); each query searches
+    ONLY its own cell with exact cosine + window. The centroid seed
+    set is deterministic (the first n_centroids ids) so the DuckDB
+    oracle reproduces the index bit-for-bit. The alternative scale
+    path to sign-LSH: cells adapt to the data distribution where LSH
+    buckets are data-oblivious."""
+    centroids = df.filter(F.col(id_col) < n_centroids)
+    assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("_v")).join(
+        assign, on=id_col
+    )
+    q = query_df.select(F.col(id_col).alias("query_id")).join(
+        base.select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("qv"),
+            F.col("cell"),
+        ),
+        on="query_id",
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"), F.col("cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def lsh_cosine_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -66,6 +66,32 @@ def quality_score(text_col: str | Column) -> Column:
     return F.round(F.lit(0.5) * len_score + F.lit(0.5) * sw_score, 4)
 
 
+# -------------------------------------------------- normalization / PII
+
+# Shared regex source for Spark (Java regex) and the DuckDB oracle
+# (RE2) — both dialects support these constructs identically.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical whitespace + case fold — the first stage of every
+    dedup pipeline (exact dedup over raw bytes misses trivial
+    formatting variants). Pure column expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Training-data PII scrub: emails → <EMAIL>, IPv4 → <IP>.
+    regexp_replace is JVM-side and replaces all occurrences; patterns
+    are engine-portable (EMAIL_RE/IP_RE shared with the oracle)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"
+    )
+
+
 # ------------------------------------------------------------- language ID
 
 # Per-language marker words (n-gram heuristic, unigram order). A doc's

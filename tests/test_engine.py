@@ -226,3 +226,26 @@ def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):
         .sort_values(["repo", "path"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stream_byte_rate_control(spark, wal_fixture, tmp_path):
+    """speed.byte analogue: max_bytes_per_trigger bounds micro-batch
+    input size. With a 1-byte cap the file source must take exactly
+    one WAL segment per trigger (soft limit: at least one file), so
+    the drain commits one batch per segment — if the option were
+    silently unsupported everything would land in one batch."""
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    q = CDCEngine(spark, t, reg).run_stream(
+        wal_fixture.wal_dir, str(tmp_path / "ck"), max_bytes_per_trigger=1
+    )
+    q.awaitTermination()
+    assert len(t.committed_batch_ids()) == wal_fixture.n_segments
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
