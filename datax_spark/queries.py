@@ -887,6 +887,168 @@ def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_click_attribution",
+    """
+WITH u AS (
+  SELECT user_id, ts, 0 AS tag, event_id, event_id AS click_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS tag, event_id, NULL AS click_id
+  FROM events WHERE event_type = 'purchase'
+),
+f AS (
+  SELECT *, last_value(click_id IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM u
+)
+SELECT user_id, event_id AS purchase_event_id, last_click_id
+FROM f WHERE tag = 1
+""",
+)
+def join_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (attribution): each purchase matched to the user's
+    latest click at-or-before it. The SCALABLE plan — tag both sides,
+    union, ONE shuffle+sort per user, forward-fill the click id with
+    last(ignorenulls) — instead of the inequality join Spark would
+    plan as a nested loop. Ties at the same timestamp: click sorts
+    before purchase (tag), max event_id among same-ts clicks wins."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("tag"), "event_id",
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_id", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "user_id", F.col("event_id").alias("purchase_event_id"), "last_click_id"
+        )
+    )
+
+
+@query(
+    "join_range_clicks_near_purchase",
+    """
+SELECT p.event_id AS purchase_event_id, count(*) AS n_clicks_1h
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR
+GROUP BY p.event_id
+""",
+)
+def join_range_clicks_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE join, bucketed: clicks within ±1 h of each purchase by
+    the same user. A raw inequality join is a nested-loop scan; the
+    scale plan buckets both sides by hour and equi-joins on
+    (user, hour±1) — 3 bucket probes bound the candidates, the exact
+    interval filter runs only within them. Identical result to the
+    oracle's inequality join."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.unix_timestamp("ts") / 3600).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts"), hour.alias("h")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id"),
+        F.explode(F.array(hour - 1, hour, hour + 1)).alias("h"),
+    )
+    return (
+        purchases.join(clicks, on=["user_id", "h"])
+        .filter(
+            F.col("c_ts").between(
+                F.col("p_ts") - F.expr("INTERVAL 1 HOUR"),
+                F.col("p_ts") + F.expr("INTERVAL 1 HOUR"),
+            )
+        )
+        .groupBy(F.col("event_id").alias("purchase_event_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks_1h"))
+    )
+
+
+@query(
+    "pivot_user_activity",
+    """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS "click",
+       count(*) FILTER (WHERE event_type = 'error') AS "error",
+       count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+       count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+       count(*) FILTER (WHERE event_type = 'view') AS "view"
+FROM events GROUP BY user_id
+""",
+)
+def pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide): per-user event counts, one column per
+    event type. The value list is pinned so Spark skips the extra
+    distinct-values job a dynamic pivot needs; absent combinations
+    coalesce to 0 to match the conditional-aggregation oracle."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = load(spark, sf_dir, "events").groupBy("user_id").pivot("event_type", types).count()
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@query(
+    "join_left_outer_activity",
+    """
+SELECT c_custkey, c_mktsegment, count(event_id) AS n_events
+FROM customer LEFT JOIN events ON user_id = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""",
+)
+def join_left_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving inactive customers (count of a
+    nullable column skips the null-extended rows → 0)."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@query(
+    "text_word_bigrams",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+SELECT doc_id,
+       len(tok) - 1 AS n_bigrams,
+       len(list_distinct(list_transform(range(1, len(tok)),
+                                        i -> tok[i] || ' ' || tok[i + 1]))) AS n_distinct_bigrams
+FROM t
+""",
+)
+def text_word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram generation (n-gram features for LM data pipelines):
+    per-doc bigram count + distinct-bigram count, all array built-ins
+    — no explode, no shuffle."""
+    tok = textops.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
+    )
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.size(tok) - 1).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+
+
+@query(
     "window_top_orders",
     """
 WITH w AS (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -1306,23 +1468,48 @@ bucketed AS (
 
 @query(
     "dedup_embedding_cosine_lsh",
-    f"""
-WITH {_PLANES_SQL},
-a AS (SELECT b.vec_id AS id_a, e.embedding AS qv, b.bucket
-      FROM bucketed b JOIN embeddings e USING (vec_id)),
-c AS (SELECT b.vec_id AS id_b, e.embedding AS cv, b.bucket
-      FROM bucketed b JOIN embeddings e USING (vec_id)),
-s AS (SELECT id_a, id_b, round({_COS_SQL}, 4) AS cosine
-      FROM a JOIN c ON a.bucket = c.bucket AND id_a < id_b)
+    """
+WITH planes16 AS (
+  SELECT b, d,
+         strpos('0123456789abcdef',
+                substr(sha256('p' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 1))
+           - 1 - 7.5 AS w
+  FROM (SELECT unnest(range(0, 16)) AS b), (SELECT unnest(range(0, 64)) AS d)
+),
+comp AS (
+  SELECT e.vec_id, p.b, sum(p.w * CAST(e.embedding[p.d + 1] AS DOUBLE)) AS proj
+  FROM embeddings e, planes16 p GROUP BY 1, 2
+),
+sig AS (
+  SELECT vec_id, b // 4 AS band,
+         CAST(sum(CASE WHEN proj > 0 THEN power(2, b % 4) ELSE 0 END) AS BIGINT) AS bucket
+  FROM comp GROUP BY vec_id, b // 4
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM sig a JOIN sig c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+),
+s AS (
+  SELECT id_a, id_b,
+         round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cosine
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+)
 SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
 """,
 )
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE path for embedding dedup, first-class and
-    oracle-checked: sign-LSH blocking (simsearch.lsh_cosine_dedup_pairs)
-    — candidates share a bucket, pair math identical to the exact
-    baseline. The all-pairs dedup_embedding_cosine stays as the
-    small-sf exact baseline."""
+    oracle-checked: banded sign-LSH blocking
+    (simsearch.lsh_cosine_dedup_pairs, 4 bands × 4 planes — OR across
+    bands for usable recall at moderate thresholds); pair math
+    identical to the exact baseline. The all-pairs
+    dedup_embedding_cosine stays as the small-sf exact baseline."""
     emb = load(spark, sf_dir, "embeddings")
     return simsearch.lsh_cosine_dedup_pairs(emb, threshold=0.4)
 

@@ -59,3 +59,54 @@ def test_stream_and_engine_queries_not_checked_here():
     # engine-backed queries build state at call time; their plan
     # properties are asserted via bench/engine tests instead.
     assert "cdc_replay_events" in QUERIES
+
+
+def test_lsh_dedup_has_no_cartesian(spark):
+    """The LSH-blocked embedding dedup must plan as a hash/merge join
+    on the bucket key — the whole point is avoiding the exact
+    baseline's O(N²) cartesian product."""
+    p = plan(spark, "dedup_embedding_cosine_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lsh_dedup_is_subset_of_exact_with_recall(spark):
+    """Banded-LSH dedup must return a SUBSET of the exact all-pairs
+    result (identical per-pair math, candidates restricted) with
+    non-trivial recall — the banding exists because one 16-plane
+    signature has ~2% recall at cosine 0.4."""
+    from datax_spark.queries import QUERIES as Q
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in Q["dedup_embedding_cosine"](spark, SF_DIR).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in Q["dedup_embedding_cosine_lsh"](spark, SF_DIR).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]  # same math, bit-identical scores
+    assert len(lsh) >= max(1, len(exact) // 4)  # usable recall
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    p = plan(spark, "ann_ivf_topk")
+    assert "Broadcast" in p
+
+
+def test_sessionize_single_shuffle(spark):
+    """lag and the running sum share (partition key, ordering), and the
+    final per-session rollup groups on a superset of the partition key
+    — Spark must plan ONE exchange for the whole pipeline, not three.
+    (Formatted explain prints each node twice: tree + details; count
+    tree entries only.)"""
+    import re
+
+    p = plan(spark, "event_sessionize")
+    assert len(re.findall(r"[+:]- Exchange", p)) <= 1
+    assert len(re.findall(r"[+:]- Sort", p)) <= 1
+
+
+def test_running_window_single_exchange(spark):
+    import re
+
+    p = plan(spark, "window_running_spend")
+    assert len(re.findall(r"[+:]- Exchange", p)) <= 1
