@@ -215,6 +215,44 @@ def jdbc_options(p: dict) -> dict:
     return opts
 
 
+def jdbc_write_options(p: dict) -> tuple[dict, str]:
+    """DataX rdbms-writer config → (Spark JDBC options, save mode).
+    writeMode insert → append; replace → overwrite WITH truncate=true
+    (DataX replace re-loads the table in place — Spark's overwrite
+    would otherwise DROP and recreate it, losing DDL); update (upsert)
+    has no Spark-JDBC equivalent → explicit error pointing at
+    snapshotwriter, never a silent append. Unit-testable without a
+    driver jar, like jdbc_options."""
+    url = p["jdbcUrl"] if isinstance(p.get("jdbcUrl"), str) else p["jdbcUrl"][0]
+    table = p.get("table")
+    if isinstance(table, list):
+        table = table[0]
+    if table is None:
+        raise JobConfigError("jdbcwriter needs parameter.table")
+    opts = {"url": url, "dbtable": table}
+    if "username" in p:
+        opts["user"] = p["username"]
+    if "password" in p:
+        opts["password"] = p["password"]
+    if "batchSize" in p:
+        opts["batchsize"] = str(p["batchSize"])
+    write_mode = p.get("writeMode", "insert")
+    if write_mode == "insert":
+        mode = "append"
+    elif write_mode == "replace":
+        mode = "overwrite"
+        opts["truncate"] = "true"
+    elif write_mode == "update":
+        raise JobConfigError(
+            "jdbcwriter writeMode 'update' (upsert) is not expressible over "
+            "Spark's JDBC sink — use snapshotwriter (MERGE) or stage to a "
+            "temp table with postSql"
+        )
+    else:
+        raise JobConfigError(f"jdbcwriter writeMode {write_mode!r}")
+    return opts, mode
+
+
 # ------------------------------------------------------------- transformers
 
 
@@ -296,6 +334,9 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
     elif name == "memwriter":
         df.createOrReplaceTempView(p.get("view", "job_output"))
         result.output = df
+    elif name in ("jdbcwriter", "mysqlwriter", "postgresqlwriter", "rdbmswriter"):
+        jopts, jmode = jdbc_write_options(p)
+        df.write.format("jdbc").options(**jopts).mode(jmode).save()
     elif name == "snapshotwriter":
         _write_snapshot(spark, df, p, result)
     else:

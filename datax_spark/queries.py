@@ -1400,6 +1400,33 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group — Spark's
+    percentile() and DuckDB's quantile_cont share the sorted-rank
+    interpolation definition, validated value-identical at 4dp. (At
+    100 TB you'd switch to approx_percentile's mergeable sketch; the
+    exact form is the oracle-checkable baseline.)"""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================
@@ -1670,6 +1697,120 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "stream_dedup_exactly_once",
+    """
+WITH d AS (SELECT DISTINCT event_id, user_id, event_type FROM events)
+SELECT event_type, count(*) AS n_events FROM d GROUP BY event_type
+""",
+)
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup (§2.9): the events file is staged
+    TWICE into the source dir (an at-least-once delivery), streamed
+    with withWatermark + dropDuplicates(event_id) in append mode —
+    every event survives exactly once. The driver aggregates the sink
+    batch-side; oracle = DISTINCT over the original (single-copy)
+    table."""
+    import shutil
+    import uuid
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tempfile.mkdtemp(prefix="sdedup_")
+    shutil.copy(src, os.path.join(stage, "events_a.parquet"))
+    shutil.copy(src, os.path.join(stage, "events_b.parquet"))  # redelivery
+    ev_schema = load(spark, sf_dir, "events").schema
+    name = f"sdedup_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+        # watermarks need TIMESTAMP (tz-aware); the table ships NTZ —
+        # the session is pinned UTC so the instant is unchanged
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "365 days")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_", dir=ckpt_base)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "stream_stream_interval_join",
+    """
+SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (§2.9, the hardest streaming
+    surface): purchases ⋈ clicks of the same user within the preceding
+    hour, both sides unbounded streams with event-time watermarks —
+    Spark keeps each side's state only as long as the watermark + the
+    interval bound requires, which is what makes this viable on an
+    infinite stream. Drained with availableNow; oracle = the batch
+    inequality join."""
+    import uuid
+
+    ev_schema = load(spark, sf_dir, "events").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                # watermark needs tz-aware TIMESTAMP; session is UTC
+                F.col("ts").cast("timestamp").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_id"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 hour")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        F.expr(
+            "c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:10]}"
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_", dir=ckpt_base)
+    q = (
+        joined.select(
+            F.col("p_id").alias("purchase_event_id"),
+            F.col("c_id").alias("click_event_id"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

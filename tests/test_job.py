@@ -302,3 +302,23 @@ def test_speed_throttles_warn_not_silent(spark):
     assert len(r.warnings) == 2
     assert any("speed.byte" in w for w in r.warnings)
     assert any("speed.record" in w for w in r.warnings)
+
+
+def test_jdbc_write_options_mapping():
+    """writeMode insert → append; replace → overwrite+truncate (DataX
+    replace reloads in place — plain overwrite would drop the table's
+    DDL); update → explicit error, never a silent append."""
+    from datax_spark.job import jdbc_write_options
+
+    base = {"jdbcUrl": "jdbc:mysql://h/db", "table": ["t"], "username": "u",
+            "password": "p", "batchSize": 2048}
+    o, mode = jdbc_write_options(base)
+    assert mode == "append" and o["dbtable"] == "t" and o["batchsize"] == "2048"
+
+    o2, mode2 = jdbc_write_options({**base, "writeMode": "replace"})
+    assert mode2 == "overwrite" and o2["truncate"] == "true"
+
+    with pytest.raises(JobConfigError):
+        jdbc_write_options({**base, "writeMode": "update"})
+    with pytest.raises(JobConfigError):
+        jdbc_write_options({"jdbcUrl": "jdbc:mysql://h/db"})
