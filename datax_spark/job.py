@@ -315,20 +315,29 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
     # the session catalog (temp views / managed tables).
     for sql in p.get("preSql") or []:
         spark.sql(sql)
+    # hive-style partitioned layout (hdfswriter jobs feeding partitioned
+    # tables) — the storage-layout lever that makes downstream partition
+    # pruning possible at 100 TB
+    part_cols = p.get("partitionBy") or []
+    if isinstance(part_cols, str):
+        part_cols = [part_cols]
+
+    def _w(writer_obj):
+        return writer_obj.partitionBy(*part_cols) if part_cols else writer_obj
+
     if name in ("parquetwriter", "hdfswriter"):
-        df.write.mode(mode).parquet(p["path"])
+        _w(df.write.mode(mode)).parquet(p["path"])
     elif name == "orcwriter":
-        df.write.mode(mode).orc(p["path"])
+        _w(df.write.mode(mode)).orc(p["path"])
     elif name in ("txtfilewriter", "csvwriter", "osswriter", "ftpwriter"):
-        (
-            df.write.mode(mode)
-            .options(
-                sep=p.get("fieldDelimiter", ","),
-                nullValue=p.get("nullFormat", "\\N"),
-                header=str(bool(p.get("header", False))).lower(),
-            )
-            .csv(p["path"])
+        opts = dict(
+            sep=p.get("fieldDelimiter", ","),
+            nullValue=p.get("nullFormat", "\\N"),
+            header=str(bool(p.get("header", False))).lower(),
         )
+        if p.get("compress"):  # DataX txtfilewriter compress: gzip/bzip2/...
+            opts["compression"] = p["compress"]
+        _w(df.write.mode(mode).options(**opts)).csv(p["path"])
     elif name == "streamwriter":
         df.show(int(p.get("limit", 20)), truncate=False)
     elif name == "memwriter":

@@ -322,3 +322,38 @@ def test_jdbc_write_options_mapping():
         jdbc_write_options({**base, "writeMode": "update"})
     with pytest.raises(JobConfigError):
         jdbc_write_options({"jdbcUrl": "jdbc:mysql://h/db"})
+
+
+def test_partitioned_and_compressed_writes(spark, tmp_path):
+    """partitionBy → hive-style layout (downstream partition pruning);
+    txtfilewriter compress → gzip part files readable transparently."""
+    import os
+
+    pq_dir = str(tmp_path / "part_pq")
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/nation.parquet"}},
+        "writer": {"name": "parquetwriter",
+                   "parameter": {"path": pq_dir, "writeMode": "truncate",
+                                 "partitionBy": ["n_regionkey"]}},
+    }]}})
+    assert any(e.startswith("n_regionkey=") for e in os.listdir(pq_dir))
+    n = spark.read.parquet(f"{SF}/nation.parquet").count()
+    assert spark.read.parquet(pq_dir).count() == n
+
+    gz_dir = str(tmp_path / "gz_csv")
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/region.parquet",
+                                 "column": ["r_regionkey", "r_name"]}},
+        "writer": {"name": "csvwriter",
+                   "parameter": {"path": gz_dir, "writeMode": "truncate",
+                                 "header": True, "compress": "gzip"}},
+    }]}})
+    assert any(f.endswith(".csv.gz") for f in os.listdir(gz_dir))
+    back = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "csvreader",
+                   "parameter": {"path": gz_dir, "skipHeader": True}},
+        "writer": {"name": "memwriter", "parameter": {"view": "gz_back"}},
+    }]}})
+    assert back.rows_read == spark.read.parquet(f"{SF}/region.parquet").count()
