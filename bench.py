@@ -60,6 +60,22 @@ HEADLINE = [
     "stream_windowed_counts",
     "stream_stateful_audit",
     "corpus_clean_pipeline",
+    # round-2 operators (BASELINE.md documents the r1-comparable subset)
+    "event_sessionize",
+    "join_asof_click_attribution",
+    "join_range_clicks_near_purchase",
+    "pivot_user_activity",
+    "agg_value_percentiles",
+    "agg_cube_volume",
+    "window_running_spend",
+    "dedup_embedding_cosine_lsh",
+    "ann_ivf_topk",
+    "text_normalize_pii",
+    "text_word_bigrams",
+    "stream_dedup_exactly_once",
+    "stream_stream_interval_join",
+    "schema_evolution_replay",
+    "cdc_time_travel",
 ]
 
 

@@ -133,8 +133,12 @@ class CDCEngine:
                 # idempotent per-batch subdir (overwrite): a committed
                 # batch replayed after a crash between this write and
                 # the commit rewrites the same rows instead of
-                # appending duplicates.
-                sub = batch_id if batch_id is not None else "unbatched"
+                # appending duplicates. Without a batch_id there is no
+                # replay identity — use a unique dir so successive
+                # ad-hoc batches never clobber each other's quarantine.
+                import uuid
+
+                sub = batch_id if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:8]}"
                 dirty.write.mode("overwrite").parquet(
                     os.path.join(self.table.location, "_quarantine", f"batch_id={sub}")
                 )

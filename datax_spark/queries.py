@@ -1115,6 +1115,23 @@ def setop_purchasers_no_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_active_buyers",
+    """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+""",
+)
+def setop_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — users who both purchased and clicked (completes the
+    set-op family next to EXCEPT)."""
+    ev = load(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    return buyers.intersect(clickers)
+
+
+@query(
     "sort_limit_topk",
     """
 SELECT o_orderkey, o_totalprice FROM orders
@@ -1333,6 +1350,35 @@ def text_normalize_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.sha2(textops.normalize_text(raw), 256).alias("norm_sha"),
         textops.redact_pii(raw).alias("redacted"),
+    )
+
+
+@query(
+    "text_edit_distance_neighbors",
+    """
+WITH t AS (SELECT doc_id, substr(text, 1, 24) AS prefix FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+""",
+)
+def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance primitive (fuzzy matching / near-dup verification
+    stage): Levenshtein over 24-char prefixes of id-adjacent doc pairs
+    — the candidate source is trivial here (consecutive ids) because
+    the point is the metric itself; production pairs come from the LSH
+    blockers. Exact integer DP → engine-identical."""
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 24).alias("prefix")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a", "id_b",
+            F.levenshtein(F.col("pa"), F.col("pb")).alias("edit_dist"),
+        )
     )
 
 
@@ -1740,15 +1786,22 @@ def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix="sdedup_ckpt_", dir=ckpt_base)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to state volume, not the CPU default —
+    # see stream_stream_interval_join for the measurement
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -1802,19 +1855,30 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"ssj_{uuid.uuid4().hex[:10]}"
     ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_", dir=ckpt_base)
-    q = (
-        joined.select(
-            F.col("p_id").alias("purchase_event_id"),
-            F.col("c_id").alias("click_event_id"),
+    # A stream-stream join keeps FOUR state stores per shuffle
+    # partition, each committed every micro-batch — state partitions
+    # must be sized to state volume, not inherit the CPU-oriented
+    # shuffle default (measured here: 32 partitions 10.3 s, 8
+    # partitions 2.7 s for identical results). The count is baked into
+    # the new checkpoint, so scoping it to this query is safe.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.select(
+                F.col("p_id").alias("purchase_event_id"),
+                F.col("c_id").alias("click_event_id"),
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
