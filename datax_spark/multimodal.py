@@ -115,6 +115,36 @@ def decode_media(
     return df.select(*in_cols).mapInPandas(_decode, out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    media_type_col: str = "media_type",
+    id_cols: list[str] | None = None,
+    stride: int = 1,
+) -> DataFrame:
+    """Frame sampling: one row per (asset, frame_idx), every `stride`
+    frames. The frame COUNT comes from the decode hop (the only
+    Python crossing); frame expansion and per-frame signatures are
+    pure JVM — explode(sequence(...)) + sha2 — so a 10^9-frame corpus
+    fans out inside codegen, not in Python. A real deployment swaps
+    the signature for the decoded frame tensor at the same spot."""
+    id_cols = id_cols or ["doc_id"]
+    meta = decode_media(
+        df, blob_col=blob_col, media_type_col=media_type_col, id_cols=id_cols
+    )
+    frame_idx = F.explode(
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(stride))
+    ).alias("frame_idx")
+    return meta.select(*id_cols, "media_type", "sha", frame_idx).select(
+        *id_cols,
+        "media_type",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.sha2(
+            F.concat(F.col("sha"), F.lit(":"), F.col("frame_idx").cast("string")), 256
+        ).alias("frame_sha"),
+    )
+
+
 def media_meta_sql(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """JVM-only twin of the fake decode (no Python at all) — the shape
     a pure-SQL pipeline uses when only byte-level metadata is needed."""

@@ -1702,6 +1702,63 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(docs, blob_col="blob", media_type_col="media_type", id_cols=["doc_id"])
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+WITH t AS (SELECT doc_id, text, strlen(text) AS n FROM documents),
+m AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE n % 5 + 1 END AS BIGINT) AS n_frames,
+             sha256(text) AS sha
+      FROM t)
+SELECT doc_id, media_type,
+       unnest(range(0, n_frames)) AS frame_idx,
+       sha256(sha || ':' || CAST(unnest(range(0, n_frames)) AS VARCHAR)) AS frame_sha
+FROM m
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (multimodal.sample_frames): the decode hop
+    yields per-asset frame counts; fan-out to per-frame rows and
+    per-frame signatures is pure JVM explode+sha2 — the plumbing a
+    frame-level training pipeline needs, with the codec stubbed
+    deterministically (parallel unnest()s zip in DuckDB, giving the
+    same (idx, sig) pairing)."""
+    from .multimodal import sample_frames
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("video")).alias(
+            "media_type"
+        ),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+    )
+    return sample_frames(docs, blob_col="blob", media_type_col="media_type",
+                         id_cols=["doc_id"])
+
+
+@query(
+    "token_top_terms",
+    """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+SELECT t AS token, count(*) AS n
+FROM tok GROUP BY t ORDER BY n DESC, t LIMIT 50
+""",
+)
+def token_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency statistics (vocabulary head): explode →
+    one uniform hash shuffle → TakeOrdered top-50 with deterministic
+    tie-break."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(textops.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
 # =====================================================================
 # Structured Streaming surface
 # =====================================================================
