@@ -341,10 +341,40 @@ def run_skew_merge(sf_dir: str, amplify: int = 64) -> dict:
     return out
 
 
-def run_headline(sf_dir: str) -> tuple[dict, float]:
+def run_calibration(spark) -> dict:
+    """Host-noise calibration: a fixed pure-CPU sha256 job (no I/O, no
+    shuffle payload to speak of) whose wall depends only on how much
+    CPU the shared host is actually giving this VM right now. Embedded
+    in every BENCH JSON so rounds are mechanically comparable: divide
+    headline walls by (calibration_wall / its historical best) to
+    normalize out contended windows (BASELINE.md documents the
+    identical binary swinging 8.4↔36 s in one day)."""
     from pyspark.sql import functions as F
 
-    from datax_spark.queries import QUERIES
+    n = 20_000_000
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        (
+            spark.range(n)
+            .select(F.sha2(F.col("id").cast("string"), 256).alias("h"))
+            .select(F.max("h"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        best = min(best, time.monotonic() - t0)
+    return {"sha256_rows": n, "wall_sec": round(best, 2),
+            "rows_per_sec": round(n / best, 1)}
+
+
+def run_headline(sf_dir: str) -> tuple[dict, float, dict]:
+    from pyspark.sql import functions as F
+
+    from datax_spark.queries import DEMOTED_QUERIES, QUERIES as _Q
+
+    # The headline suite predates the round-3 driver-gate consolidation;
+    # demoted queries stay benchmarked so round-over-round walls remain
+    # comparable.
+    QUERIES = {**_Q, **DEMOTED_QUERIES}
 
     spark = _get_spark(CPUS)
     # Warm the JVM/session so q1 doesn't pay session startup, and warm
@@ -382,6 +412,8 @@ def run_headline(sf_dir: str) -> tuple[dict, float]:
     )
     wq.awaitTermination()
 
+    calibration = run_calibration(spark)
+
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -393,7 +425,7 @@ def run_headline(sf_dir: str) -> tuple[dict, float]:
         times[name] = round(dt, 2)
         total += dt
     spark.stop()
-    return times, total
+    return times, total, calibration
 
 
 def main() -> None:
@@ -407,7 +439,7 @@ def main() -> None:
     skew = None
     if os.environ.get("DATAX_BENCH_SKEW", "1") != "0":
         skew = run_skew_merge(SF_DIR)
-    times, total = run_headline(SF_DIR)
+    times, total, calibration = run_headline(SF_DIR)
     out = {
         "metric": "headline_suite_wall_sec",
         "value": round(total, 2),
@@ -415,6 +447,7 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "calibration": calibration,
     }
     if scaling is not None:
         out["merge_apply"] = scaling
@@ -422,6 +455,28 @@ def main() -> None:
         out["streaming_apply"] = streaming
     if skew is not None:
         out["merge_skew"] = skew
+    if scaling is not None:
+        # The 10^10-event claim, mechanically traceable: projected wall
+        # = target / (nodes × per_node_rate × eff). per_node_rate is
+        # THIS box's full-width best-of merge-apply rate; eff is the
+        # measured 1→4 ladder efficiency. Caveat is structural, not
+        # hedging: a 1-box thread sweep shares one DRAM domain and one
+        # disk, so it underestimates a real 4N-executor cluster (which
+        # scales memory bandwidth and I/O with cores) — only a cluster
+        # run can settle the constant.
+        nodes = 32
+        rate = scaling["events_per_sec_full"]
+        eff = scaling["scaling_efficiency"]
+        out["model"] = {
+            "target_events": 10**10,
+            "per_node_events_per_sec": rate,
+            "assumed_nodes": nodes,
+            "scaling_efficiency": eff,
+            "projected_wall_hours": round(10**10 / (nodes * rate * eff) / 3600, 2),
+            "assumptions": "per-node rate = this VM's local[32] best-of merge-apply; "
+            "node scaling at the measured 1->4 ladder efficiency; "
+            "1-box DRAM/disk sharing makes this a conservative floor",
+        }
     print(json.dumps(out))
 
 

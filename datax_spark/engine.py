@@ -136,11 +136,22 @@ class CDCEngine:
                 # appending duplicates. Without a batch_id there is no
                 # replay identity — use a unique dir so successive
                 # ad-hoc batches never clobber each other's quarantine.
+                import re
                 import uuid
 
                 sub = batch_id if batch_id is not None else f"adhoc-{uuid.uuid4().hex[:8]}"
+                # batch_id becomes a hive-style partition dir name:
+                # path-special characters ('/', '=', ...) would corrupt
+                # the layout and partition discovery — keep a safe
+                # charset, replace the rest, and disambiguate mangled
+                # ids with a short hash of the original.
+                safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(sub))
+                if safe != str(sub):
+                    import hashlib
+
+                    safe = f"{safe}-{hashlib.sha256(str(sub).encode()).hexdigest()[:8]}"
                 dirty.write.mode("overwrite").parquet(
-                    os.path.join(self.table.location, "_quarantine", f"batch_id={sub}")
+                    os.path.join(self.table.location, "_quarantine", f"batch_id={safe}")
                 )
 
         # Live column add/drop/retype: walk epochs up to the batch's max.

@@ -30,6 +30,68 @@ BATCH_LEDGER_PROP = "datax.batch-ids"
 LINEAGE_PROP = "datax.lineage"
 
 
+# ---------- SQL builders (pure, golden-tested without the runtime jar)
+
+
+def create_table_sql(
+    identifier: str, schema: T.StructType, bucket_col: str, num_buckets: int
+) -> str:
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        f"CREATE TABLE {identifier} ({cols}, `_lsn` bigint) USING iceberg "
+        f"PARTITIONED BY (bucket({num_buckets}, `{bucket_col}`)) "
+        f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+        f"'write.distribution-mode'='hash', 'format-version'='2')"
+    )
+
+
+def evolve_sql_statements(
+    identifier: str, cur: dict[str, T.DataType], new: dict[str, T.DataType]
+) -> list[str]:
+    """Iceberg DDL deltas for add / retype / drop — all metadata-only
+    in format v2, in deterministic (new-schema, then drop) order."""
+    stmts = []
+    for name, dt in new.items():
+        if name not in cur:
+            stmts.append(
+                f"ALTER TABLE {identifier} ADD COLUMN `{name}` {dt.simpleString()}"
+            )
+        elif cur[name] != dt:
+            stmts.append(
+                f"ALTER TABLE {identifier} ALTER COLUMN `{name}` TYPE {dt.simpleString()}"
+            )
+    for name in cur:
+        if name not in new:
+            stmts.append(f"ALTER TABLE {identifier} DROP COLUMN `{name}`")
+    return stmts
+
+
+def merge_sql(
+    identifier: str,
+    data_cols: list[str],
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    source_view: str = "_datax_merge_src",
+) -> str:
+    """The one MERGE INTO statement the engine issues per micro-batch:
+    LSN-guarded LWW upsert + delete, insert of unseen non-delete keys.
+    The `s.lsn > t._lsn` guard is what makes replays idempotent at the
+    row level even beyond the batch-id ledger."""
+    on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
+    set_cols = ", ".join(f"t.`{c}` = s.`{c}`" for c in data_cols if c not in key_cols)
+    ins_cols = ", ".join(f"`{c}`" for c in data_cols + ["_lsn"])
+    ins_vals = ", ".join(f"s.`{c}`" for c in data_cols) + f", s.`{lsn_col}`"
+    return (
+        f"""
+            MERGE INTO {identifier} t USING {source_view} s ON {on}
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` AND s.`{op_col}` = 'D' THEN DELETE
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` THEN UPDATE SET {set_cols}, t.`_lsn` = s.`{lsn_col}`
+            WHEN NOT MATCHED AND s.`{op_col}` <> 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            """
+    )
+
+
 class IcebergTable:
     def __init__(self, spark: SparkSession, identifier: str, key_cols: list[str]):
         self.spark = spark
@@ -57,14 +119,7 @@ class IcebergTable:
         key_cols: list[str],
         num_buckets: int = 64,
     ) -> "IcebergTable":
-        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-        bucket_col = key_cols[-1]
-        spark.sql(
-            f"CREATE TABLE {identifier} ({cols}, `_lsn` bigint) USING iceberg "
-            f"PARTITIONED BY (bucket({num_buckets}, `{bucket_col}`)) "
-            f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
-            f"'write.distribution-mode'='hash', 'format-version'='2')"
-        )
+        spark.sql(create_table_sql(identifier, schema, key_cols[-1], num_buckets))
         return cls(spark, identifier, key_cols)
 
     # ---------- reads / metadata ----------
@@ -120,18 +175,8 @@ class IcebergTable:
         retype are all metadata-only in format v2)."""
         cur = {f.name: f.dataType for f in self.schema.fields}
         new = {f.name: f.dataType for f in new_schema.fields}
-        for name, dt in new.items():
-            if name not in cur:
-                self.spark.sql(
-                    f"ALTER TABLE {self.identifier} ADD COLUMN `{name}` {dt.simpleString()}"
-                )
-            elif cur[name] != dt:
-                self.spark.sql(
-                    f"ALTER TABLE {self.identifier} ALTER COLUMN `{name}` TYPE {dt.simpleString()}"
-                )
-        for name in cur:
-            if name not in new:
-                self.spark.sql(f"ALTER TABLE {self.identifier} DROP COLUMN `{name}`")
+        for stmt in evolve_sql_statements(self.identifier, cur, new):
+            self.spark.sql(stmt)
         c = self.current()
         return CommitInfo(c["version"], c["snapshot_id"], None)
 
@@ -165,10 +210,6 @@ class IcebergTable:
         )
         winners.createOrReplaceTempView("_datax_merge_src")
 
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
-        set_cols = ", ".join(f"t.`{c}` = s.`{c}`" for c in data_cols if c not in key_cols)
-        ins_cols = ", ".join(f"`{c}`" for c in data_cols + ["_lsn"])
-        ins_vals = ", ".join(f"s.`{c}`" for c in data_cols) + f", s.`{lsn_col}`"
         ledger = json.dumps(sorted(self.committed_batch_ids() | ({batch_id} if batch_id else set())))
         props = {
             BATCH_LEDGER_PROP: ledger,
@@ -177,13 +218,6 @@ class IcebergTable:
         }
         for k, v in props.items():
             self.spark.conf.set(f"spark.wap.snapshot-property.{k}", v)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.identifier} t USING _datax_merge_src s ON {on}
-            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` AND s.`{op_col}` = 'D' THEN DELETE
-            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` THEN UPDATE SET {set_cols}, t.`_lsn` = s.`{lsn_col}`
-            WHEN NOT MATCHED AND s.`{op_col}` <> 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
-            """
-        )
+        self.spark.sql(merge_sql(self.identifier, data_cols, key_cols, lsn_col, op_col))
         c = self.current()
         return CommitInfo(c["version"], c["snapshot_id"], batch_id)

@@ -176,6 +176,20 @@ def _paths(p: dict) -> list[str]:
     return path if isinstance(path, list) else [path]
 
 
+def _scalar(p: dict, key: str, required: bool = False):
+    """DataX config values arrive as scalar-or-list; take the first
+    element with a config error (naming the parameter) on an empty
+    list instead of a raw IndexError."""
+    v = p.get(key)
+    if isinstance(v, list):
+        if not v:
+            raise JobConfigError(f"parameter.{key} is an empty list")
+        v = v[0]
+    if required and v is None:
+        raise JobConfigError(f"parameter.{key} required")
+    return v
+
+
 def jdbc_options(p: dict) -> dict:
     """DataX rdbms-reader config → Spark JDBC options. Separate from
     _read so it is unit-testable without a driver jar (the sandbox
@@ -184,14 +198,10 @@ def jdbc_options(p: dict) -> dict:
     would be a syntax error on first contact with a real database;
     with splitPk it must be a dbtable subquery instead, since Spark
     rejects query+partitionColumn together."""
-    url = p["jdbcUrl"] if isinstance(p.get("jdbcUrl"), str) else p["jdbcUrl"][0]
+    url = _scalar(p, "jdbcUrl", required=True)
     opts = {"url": url}
-    query_sql = p.get("querySql")
-    if isinstance(query_sql, list):
-        query_sql = query_sql[0]
-    table = p.get("table")
-    if isinstance(table, list):
-        table = table[0]
+    query_sql = _scalar(p, "querySql")
+    table = _scalar(p, "table")
     if query_sql is not None:
         if "splitPk" in p:
             opts["dbtable"] = f"({query_sql}) dx_query"
@@ -223,10 +233,8 @@ def jdbc_write_options(p: dict) -> tuple[dict, str]:
     has no Spark-JDBC equivalent → explicit error pointing at
     snapshotwriter, never a silent append. Unit-testable without a
     driver jar, like jdbc_options."""
-    url = p["jdbcUrl"] if isinstance(p.get("jdbcUrl"), str) else p["jdbcUrl"][0]
-    table = p.get("table")
-    if isinstance(table, list):
-        table = table[0]
+    url = _scalar(p, "jdbcUrl", required=True)
+    table = _scalar(p, "table")
     if table is None:
         raise JobConfigError("jdbcwriter needs parameter.table")
     opts = {"url": url, "dbtable": table}
@@ -312,7 +320,17 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
     # preSql/postSql hooks ([UP plugin-rdbms-util/.../writer/WriterUtil.java]):
     # the truncate-then-load / post-load-index idiom of nearly every
     # production writer job. Statements run through spark.sql against
-    # the session catalog (temp views / managed tables).
+    # the session catalog (temp views / managed tables) — which is the
+    # WRONG catalog for a jdbc writer (in DataX they execute on the
+    # target RDBMS), so there they are an explicit config error rather
+    # than a confusing TRUNCATE of a local view.
+    _jdbc_writers = ("jdbcwriter", "mysqlwriter", "postgresqlwriter", "rdbmswriter")
+    if name in _jdbc_writers and (p.get("preSql") or p.get("postSql")):
+        raise JobConfigError(
+            f"{name} preSql/postSql would run against the local Spark "
+            "catalog, not the target database — execute them on the RDBMS "
+            "out-of-band, or use a catalog-backed writer"
+        )
     for sql in p.get("preSql") or []:
         spark.sql(sql)
     # hive-style partitioned layout (hdfswriter jobs feeding partitioned

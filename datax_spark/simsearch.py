@@ -23,6 +23,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+# ----------------------------------------------------- scale-aware sizing
+
+
+def size_lsh_planes(
+    n_vectors: int,
+    target_bucket_rows: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """planes_per_band ≈ log2(N / target_bucket_rows): sized so an
+    (idealized uniform) band splits N vectors into buckets of about
+    `target_bucket_rows`, keeping within-bucket exact scoring
+    O(N·target) instead of O((N/2^fixed)²) as the corpus grows.
+    Raising planes lowers per-band collision probability p^planes —
+    at higher plane counts grow n_bands too (size_lsh_bands) to hold
+    recall. Bounded to [min_planes, max_planes] (2^24 buckets/band is
+    past any practical corpus)."""
+    import math
+
+    if n_vectors <= target_bucket_rows:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_vectors / target_bucket_rows))))
+
+
+def size_lsh_bands(
+    planes_per_band: int, p_collide: float = 0.7, target_recall: float = 0.9,
+    max_bands: int = 64,
+) -> int:
+    """n_bands holding OR-across-bands recall ≈ target at a given
+    per-plane agreement probability p (p = 1 - θ/π for angle θ at the
+    dedup threshold; cosine 0.4 → p ≈ 0.63, cosine 0.9 → p ≈ 0.86):
+    recall = 1 - (1 - p^planes)^bands ⇒ bands = ln(1-target)/ln(1-p^planes)."""
+    import math
+
+    p_band = p_collide ** planes_per_band
+    if p_band >= 1.0:
+        return 1
+    return max(1, min(max_bands, math.ceil(math.log(1 - target_recall) / math.log(1 - p_band))))
+
+
+def size_ivf_centroids(
+    n_vectors: int, min_centroids: int = 16, max_centroids: int = 1 << 18
+) -> int:
+    """n_centroids ≈ √N (the classic IVF balance point: K cells of
+    ~N/K rows each make assign O(N·K) and probe O(Q·nprobe·N/K), both
+    minimized together at K ≈ √N). Clamped so tiny corpora keep a
+    workable cell count and huge ones bound the broadcast table."""
+    import math
+
+    return max(min_centroids, min(max_centroids, math.isqrt(max(1, n_vectors))))
+
+
 # ------------------------------------------------------------- primitives
 
 
@@ -213,7 +265,7 @@ def ivf_ann_topk(
     df: DataFrame,
     query_df: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -223,7 +275,13 @@ def ivf_ann_topk(
     set is deterministic (the first n_centroids ids) so the DuckDB
     oracle reproduces the index bit-for-bit. The alternative scale
     path to sign-LSH: cells adapt to the data distribution where LSH
-    buckets are data-oblivious."""
+    buckets are data-oblivious.
+
+    n_centroids=None auto-sizes K ≈ √N (size_ivf_centroids) — the
+    scale default; the explicit sandbox value (16) keeps the DuckDB
+    oracle's centroid set pinned."""
+    if n_centroids is None:
+        n_centroids = size_ivf_centroids(df.count())
     centroids = df.filter(F.col(id_col) < n_centroids)
     assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     base = df.select(
@@ -267,9 +325,10 @@ def lsh_cosine_dedup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_bands: int = 4,
-    planes_per_band: int = 4,
+    n_bands: int | None = 4,
+    planes_per_band: int | None = 4,
     n_dims: int = 64,
+    target_bucket_rows: int = 1024,
 ) -> DataFrame:
     """Embedding near-dup pairs, banded-LSH-blocked — the 100 TB path.
 

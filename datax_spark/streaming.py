@@ -41,6 +41,7 @@ def stateful_lsn_audit(
     key_col: str = "user_id",
     lsn_col: str = "event_id",
     key_type: str = "long",
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Per-key lsn continuity audit with cross-batch state.
 
@@ -55,10 +56,34 @@ def stateful_lsn_audit(
     The whole batch slice is processed with pandas vector ops
     (sort/diff/boolean sums) — no per-row Python: the per-batch cost
     is O(n log n) C-side sort + a few vectorized passes.
+
+    `idle_timeout_ms` (e.g. 30*60*1000): on an UNBOUNDED keyspace the
+    per-key state otherwise grows monotonically forever. When set, a
+    key idle past the duration is EVICTED — its final running totals
+    are emitted one last time and the state removed; if the key later
+    reappears its audit restarts fresh (a restart is indistinguishable
+    from a first sight, so cross-eviction gaps are not counted — the
+    documented trade-off of bounding state). Default None keeps
+    NoTimeout for bounded replays (oracle-identical to the batch fold).
+
+    Use idle_timeout_ms only with clock-triggered (continuous /
+    processingTime) streams: processing-time timers under an
+    availableNow drain keep scheduling empty micro-batches and the
+    drain never terminates (measured on this Spark: 50+ empty batches)
+    — bounded replays should keep the NoTimeout default.
     """
     out_schema, state_schema = audit_schemas(key_col, key_type)
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists and state.hasTimedOut:
+            # idle eviction: emit the final snapshot, drop the state
+            n_events, max_lsn, n_gaps, n_re = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{key_col: key[0], "n_events": n_events, "max_lsn": max_lsn,
+                  "n_gaps": n_gaps, "n_redelivered": n_re}]
+            )
+            return
         if state.exists:
             n_events, max_lsn, n_gaps, n_re = state.get
         else:
@@ -81,11 +106,18 @@ def stateful_lsn_audit(
                     n_gaps += 1  # gap across the batch boundary
                 max_lsn = int(rest.iloc[-1])
         state.update((n_events, max_lsn, n_gaps, n_re))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [{key_col: key[0], "n_events": n_events, "max_lsn": max_lsn,
               "n_gaps": n_gaps, "n_redelivered": n_re}]
         )
 
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return df.groupBy(key_col).applyInPandasWithState(
-        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "update", timeout
     )

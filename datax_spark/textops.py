@@ -48,11 +48,35 @@ def bpe_token_estimate(n_chars: str | Column) -> Column:
     return F.ceil(c / F.lit(4.0)).cast("long")
 
 
+def _word_count_pattern(words: list[str]) -> str:
+    """Regex counting tokens exactly equal to one of `words` in a
+    single-space-delimited string wrapped in sentinel spaces:
+    zero-width lookarounds keep adjacent matches from consuming each
+    other's delimiter. Exactly equivalent to filtering the split-on-
+    space token array for membership (all words are alphanumeric, no
+    escaping needed)."""
+    return "(?<= )(" + "|".join(words) + ")(?= )"
+
+
+def word_occurrences(col: str | Column, words: list[str]) -> Column:
+    """Count tokens equal to any of `words` — ONE regexp_count pass,
+    whole-stage codegen. The equivalent array HOF
+    (size(filter(tokens, array_contains))) evaluates its lambda
+    INTERPRETED per element; measured on this VM the regex form is a
+    modest ~10-20% faster at 160k docs (1.0 → 0.9 s for 5 marker-set
+    counts) — the split+filter cost is alloc-dominated, not
+    interpreter-dominated — and it avoids materializing the token
+    array entirely. Identical token-equality semantics."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(
+        F.concat(F.lit(" "), c, F.lit(" ")), F.lit(_word_count_pattern(words))
+    )
+
+
 def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
-    """Count of stopword tokens via filter() on the token array —
-    no explode, no shuffle."""
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t)))
+    """Count of stopword tokens — codegen regexp_count, no explode,
+    no shuffle (see word_occurrences)."""
+    return word_occurrences(col, stopwords or STOPWORDS)
 
 
 def quality_score(text_col: str | Column) -> Column:
@@ -105,8 +129,7 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def lang_marker_count(text_col: str | Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(s) for s in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(sw, t)))
+    return word_occurrences(text_col, LANG_MARKERS[lang])
 
 
 def lang_id(text_col: str | Column) -> Column:

@@ -190,6 +190,42 @@ def test_engine_quarantine_and_error_limit(spark, tmp_path):
     assert q2.count() == 10  # NOT 20
 
 
+def test_quarantine_batch_id_path_sanitized(spark, tmp_path):
+    """A batch_id with path-special characters ('/', '=', spaces) must
+    not corrupt the hive-style quarantine layout — the dir name is
+    sanitized (safe charset + disambiguating hash) and the quarantine
+    read path still discovers the rows."""
+    import os
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import ErrorLimit
+
+    reg = EpochRegistry([{"epoch": 0, "change": "base",
+                          "columns": {"content": "string"}}])
+    batch = spark.range(20).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(
+            F.col("id").cast("string")).alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    ok = F.col("content").isNotNull()
+    loc = str(tmp_path / "qs")
+    t = SnapshotTable.create(spark, loc, reg.schema_for(0),
+                             key_cols=["repo", "path"], num_buckets=4)
+    e = CDCEngine(spark, t, reg, ok_condition=ok,
+                  error_limit=ErrorLimit(percentage=0.9))
+    e.apply_batch(batch, batch_id="offsets/0=1:2 9")
+    qdir = os.path.join(loc, "_quarantine")
+    import re
+
+    subs = os.listdir(qdir)
+    assert len(subs) == 1
+    assert subs[0].startswith("batch_id=")
+    assert re.fullmatch(r"[A-Za-z0-9._-]+", subs[0].removeprefix("batch_id="))
+    assert spark.read.parquet(qdir).count() == 10
+
+
 def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):
     """The same change stream shipped as a CSV WAL must fold to the
     same final state (header + explicit timestamp format)."""

@@ -1,0 +1,78 @@
+"""Golden-string tests for the Iceberg backend's generated SQL.
+
+The iceberg-spark-runtime jar is not in this sandbox, so IcebergTable
+can't execute here — but every statement it would issue is built by a
+pure function, and THOSE are pinned exactly. This catches drift in the
+one module no execution test touches; the SnapshotTable twin covers
+the shared engine contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from datax_spark.iceberg import (
+    create_table_sql,
+    evolve_sql_statements,
+    merge_sql,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("repo", T.StringType()),
+    T.StructField("path", T.StringType()),
+    T.StructField("commit_id", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("content", T.StringType()),
+])
+
+
+def test_create_table_sql_golden():
+    assert create_table_sql("cat.db.src", SCHEMA, "path", 64) == (
+        "CREATE TABLE cat.db.src (`repo` string, `path` string, "
+        "`commit_id` string, `lang` string, `content` string, `_lsn` bigint) "
+        "USING iceberg PARTITIONED BY (bucket(64, `path`)) "
+        "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
+        "'write.distribution-mode'='hash', 'format-version'='2')"
+    )
+
+
+def test_evolve_sql_statements_golden():
+    cur = {"repo": T.StringType(), "stars": T.IntegerType(), "lang": T.StringType()}
+    new = {"repo": T.StringType(), "stars": T.LongType(), "desc": T.StringType()}
+    assert evolve_sql_statements("cat.db.src", cur, new) == [
+        "ALTER TABLE cat.db.src ALTER COLUMN `stars` TYPE bigint",
+        "ALTER TABLE cat.db.src ADD COLUMN `desc` string",
+        "ALTER TABLE cat.db.src DROP COLUMN `lang`",
+    ]
+    assert evolve_sql_statements("t", cur, dict(cur)) == []
+
+
+def test_merge_sql_golden():
+    got = merge_sql(
+        "cat.db.src",
+        data_cols=["repo", "path", "content"],
+        key_cols=["repo", "path"],
+    )
+    assert "MERGE INTO cat.db.src t USING _datax_merge_src s ON " in got
+    assert "t.`repo` = s.`repo` AND t.`path` = s.`path`" in got
+    # LSN guard on BOTH matched branches — row-level idempotence
+    assert got.count("s.`lsn` > t.`_lsn`") == 2
+    assert "WHEN MATCHED AND s.`lsn` > t.`_lsn` AND s.`op` = 'D' THEN DELETE" in got
+    # key columns never appear in the UPDATE SET list
+    assert "t.`repo` = s.`repo`," not in got.split("UPDATE SET")[1]
+    assert (
+        "UPDATE SET t.`content` = s.`content`, t.`_lsn` = s.`lsn`"
+        in got
+    )
+    assert (
+        "WHEN NOT MATCHED AND s.`op` <> 'D' THEN INSERT "
+        "(`repo`, `path`, `content`, `_lsn`) "
+        "VALUES (s.`repo`, s.`path`, s.`content`, s.`lsn`)" in got
+    )
+
+
+def test_merge_sql_custom_lsn_op_cols():
+    got = merge_sql("t", ["k", "v"], ["k"], lsn_col="seq", op_col="kind",
+                    source_view="stage")
+    assert "USING stage s ON t.`k` = s.`k`" in got
+    assert got.count("s.`seq` > t.`_lsn`") == 2
+    assert "s.`kind` = 'D'" in got and "s.`kind` <> 'D'" in got

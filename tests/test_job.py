@@ -324,6 +324,37 @@ def test_jdbc_write_options_mapping():
         jdbc_write_options({"jdbcUrl": "jdbc:mysql://h/db"})
 
 
+def test_jdbc_empty_list_params_are_config_errors():
+    """An empty list for jdbcUrl/querySql/table must surface as a
+    JobConfigError naming the parameter, not a raw IndexError."""
+    from datax_spark.job import jdbc_options, jdbc_write_options
+
+    with pytest.raises(JobConfigError, match="jdbcUrl"):
+        jdbc_options({"jdbcUrl": [], "table": "t"})
+    with pytest.raises(JobConfigError, match="querySql"):
+        jdbc_options({"jdbcUrl": "jdbc:mysql://h/db", "querySql": []})
+    with pytest.raises(JobConfigError, match="table"):
+        jdbc_write_options({"jdbcUrl": "jdbc:mysql://h/db", "table": []})
+    with pytest.raises(JobConfigError, match="jdbcUrl"):
+        jdbc_options({"table": "t"})
+
+
+def test_jdbc_writer_rejects_presql_postsql(spark):
+    """pre/postSql on a jdbc writer would execute against the LOCAL
+    Spark catalog, not the target RDBMS (where DataX's WriterUtil runs
+    them) — must be an explicit config error, not a wrong-catalog
+    TRUNCATE."""
+    spec = {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/region.parquet"}},
+        "writer": {"name": "jdbcwriter",
+                   "parameter": {"jdbcUrl": "jdbc:mysql://h/db", "table": "t",
+                                 "preSql": ["TRUNCATE TABLE t"]}},
+    }]}}
+    with pytest.raises(JobConfigError, match="local Spark catalog"):
+        run_job(spark, spec)
+
+
 def test_partitioned_and_compressed_writes(spark, tmp_path):
     """partitionBy → hive-style layout (downstream partition pruning);
     txtfilewriter compress → gzip part files readable transparently."""

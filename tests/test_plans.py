@@ -7,13 +7,14 @@ from __future__ import annotations
 
 import pytest
 
-from datax_spark.queries import QUERIES
+from datax_spark.queries import DEMOTED_QUERIES, QUERIES
 
+_ALL = {**QUERIES, **DEMOTED_QUERIES}
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def plan(spark, name: str, mode: str = "formatted") -> str:
-    df = QUERIES[name](spark, SF_DIR)
+    df = _ALL[name](spark, SF_DIR)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
 
@@ -75,12 +76,10 @@ def test_lsh_dedup_is_subset_of_exact_with_recall(spark):
     result (identical per-pair math, candidates restricted) with
     non-trivial recall — the banding exists because one 16-plane
     signature has ~2% recall at cosine 0.4."""
-    from datax_spark.queries import QUERIES as Q
-
     exact = {(r["id_a"], r["id_b"]): r["cosine"]
-             for r in Q["dedup_embedding_cosine"](spark, SF_DIR).collect()}
+             for r in _ALL["dedup_embedding_cosine"](spark, SF_DIR).collect()}
     lsh = {(r["id_a"], r["id_b"]): r["cosine"]
-           for r in Q["dedup_embedding_cosine_lsh"](spark, SF_DIR).collect()}
+           for r in _ALL["dedup_embedding_cosine_lsh"](spark, SF_DIR).collect()}
     assert set(lsh) <= set(exact)
     for pair, cos in lsh.items():
         assert cos == exact[pair]  # same math, bit-identical scores

@@ -1,0 +1,91 @@
+"""Scale-aware index sizing (simsearch.size_*): the LSH/IVF plan
+shapes are scale-right by construction; these tests pin that the
+CONSTANTS now scale too — bucket/cell counts grow with the corpus so
+within-bucket exact scoring stays bounded, instead of the sandbox
+defaults silently becoming O((N/16)²) at corpus size."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark import simsearch
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+def test_size_lsh_planes_tracks_log_n():
+    s = simsearch.size_lsh_planes
+    assert s(500, target_bucket_rows=1024) == 4          # floor at min_planes
+    assert s(1 << 20, target_bucket_rows=1024) == 10     # 1M/1k -> 2^10 buckets
+    assert s(10**10, target_bucket_rows=1024) == 24      # clamped at max
+    # monotone non-decreasing in N
+    sizes = [s(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert sizes == sorted(sizes)
+
+
+def test_size_ivf_centroids_is_sqrt_n():
+    s = simsearch.size_ivf_centroids
+    assert s(100) == 16                                   # floor
+    assert s(10**6) == 1000
+    assert s(10**8) == 10**4
+    assert s(10**12) == 1 << 18                           # broadcast bound
+
+
+def test_size_lsh_bands_holds_recall():
+    """bands chosen so OR-across-bands recall ≥ target at the stated
+    per-plane agreement probability."""
+    for ppb in (4, 8, 12):
+        bands = simsearch.size_lsh_bands(ppb, p_collide=0.86, target_recall=0.9)
+        p_band = 0.86 ** ppb
+        assert 1 - (1 - p_band) ** bands >= 0.9 - 1e-9
+    # more planes per band -> needs at least as many bands
+    b = [simsearch.size_lsh_bands(p, p_collide=0.86) for p in (4, 8, 12)]
+    assert b == sorted(b)
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_MED])
+def test_lsh_bucket_occupancy_bounded_with_autosizing(spark, sf_dir):
+    """With auto-sizing on, the max (band, bucket) occupancy stays
+    within a constant factor of the target at BOTH sf scales — the
+    property that keeps within-bucket candidate sets bounded as the
+    corpus grows. (Real embeddings cluster, so allow a skew factor
+    over the uniform ideal.)"""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    target = 64  # small target so sizing actually engages at sandbox sf
+    ppb = simsearch.size_lsh_planes(n, target_bucket_rows=target)
+    occ = (
+        emb.select(
+            simsearch.lsh_band_bucket("embedding", 0, ppb).alias("bucket")
+        )
+        .groupBy("bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ <= 16 * target, f"max occupancy {occ} vs target {target} (N={n})"
+
+
+def test_ivf_autosizing_cells_bounded(spark):
+    """n_centroids=None derives K ≈ √N; assignment must spread vectors
+    so the largest cell is far below N (no degenerate single cell)."""
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    n = emb.count()
+    k = simsearch.size_ivf_centroids(n)
+    assign = simsearch.ivf_assign(emb, emb.filter(F.col("vec_id") < k))
+    cells = assign.groupBy("cell").count()
+    max_cell = cells.agg(F.max("count")).collect()[0][0]
+    n_cells = cells.count()
+    assert n_cells > max(2, k // 4)  # most seed cells actually used
+    assert max_cell <= n / 2, f"degenerate cell: {max_cell} of {n}"
+    # auto-sized end-to-end call returns the same shape as the pinned one
+    out = simsearch.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_centroids=None
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    assert all(r["rank"] <= 3 for r in rows)

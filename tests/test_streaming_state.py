@@ -60,3 +60,93 @@ def test_audit_state_spans_batches(spark, tmp_path):
     assert final[2]["n_gaps"] == 0
     assert final[3]["n_events"] == 1 and final[3]["n_gaps"] == 0
     assert out.count() >= 4  # at least one update row per key per touching batch
+
+
+def test_audit_idle_timeout_evicts_state(spark, tmp_path):
+    """With idle_timeout set, a key idle past the duration is evicted
+    (final totals emitted, state removed) — if it reappears later its
+    audit RESTARTS instead of continuing, proving the state store no
+    longer holds it. This is the unbounded-keyspace guard: NoTimeout
+    state grows monotonically forever on an open key domain."""
+    import time
+
+    b1 = pd.DataFrame({"user_id": [9, 9], "event_id": [1, 2]})
+    b2 = pd.DataFrame({"user_id": [1], "event_id": [100]})   # advances proc time
+    b3 = pd.DataFrame({"user_id": [9], "event_id": [3]})     # 9 reappears
+    src = tmp_path / "wal"
+    src.mkdir()
+    for i, b in enumerate((b1, b2, b3)):
+        b.to_parquet(src / f"seg_{i:04d}.parquet", index=False)
+
+    schema = "user_id long, event_id long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    audited = stateful_lsn_audit(
+        stream, key_col="user_id", lsn_col="event_id", idle_timeout_ms=1
+    )
+    # Processing-time timers only fire on a RUNNING clock-triggered
+    # stream: under availableNow Spark keeps scheduling empty batches
+    # while timers exist and the drain never terminates (measured here
+    # — 50+ empty batches). So the TTL path runs with a processingTime
+    # trigger and an explicit stop; availableNow replays keep the
+    # NoTimeout default (see the twin test below).
+    q = (
+        audited.writeStream.format("memory")
+        .queryName("audit_ttl_test")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            rows = spark.table("audit_ttl_test").filter("user_id = 9").collect()
+            if any((r["n_events"], r["max_lsn"]) == (1, 3) for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    rows9 = sorted(
+        [tuple(r) for r in spark.table("audit_ttl_test").filter("user_id = 9")
+         .select("n_events", "max_lsn", "n_gaps").collect()]
+    )
+    # batch1 update (2 events), eviction emit (same totals), fresh
+    # restart after reappearance (1 event, NO gap counted across the
+    # eviction — restart is indistinguishable from first sight)
+    assert (1, 3, 0) in rows9, f"key 9 must restart fresh after eviction: {rows9}"
+    assert rows9.count((2, 2, 0)) >= 2, f"eviction must emit final totals: {rows9}"
+
+
+def test_audit_no_timeout_unchanged(spark, tmp_path):
+    """Default (no idle_timeout) keeps NoTimeout semantics: the same
+    reappearing key CONTINUES its audit (3 events, gap 2→3 not
+    counted as gap since 3 = 2+1)."""
+    b1 = pd.DataFrame({"user_id": [9, 9], "event_id": [1, 2]})
+    b2 = pd.DataFrame({"user_id": [1], "event_id": [100]})
+    b3 = pd.DataFrame({"user_id": [9], "event_id": [3]})
+    src = tmp_path / "wal"
+    src.mkdir()
+    for i, b in enumerate((b1, b2, b3)):
+        b.to_parquet(src / f"seg_{i:04d}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stateful_lsn_audit(stream, key_col="user_id", lsn_col="event_id")
+        .writeStream.format("memory")
+        .queryName("audit_nottl_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows9 = [tuple(r) for r in spark.table("audit_nottl_test").filter("user_id = 9")
+             .select("n_events", "max_lsn", "n_gaps").collect()]
+    assert (3, 3, 0) in rows9, f"state must persist without timeout: {rows9}"
