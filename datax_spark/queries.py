@@ -1560,6 +1560,27 @@ def agg_value_percentiles_approx(
     )
 
 
+def agg_distinct_users_approx(
+    spark: SparkSession, sf_dir: str, rsd: float = 0.02
+) -> DataFrame:
+    """The 100 TB twin of COUNT(DISTINCT …): approx_count_distinct's
+    HyperLogLog++ sketch — fixed memory per group and a single
+    map-side-mergeable pass, where exact distinct needs a full
+    per-group key shuffle (or a two-phase expand). Not
+    driver-registered (approximate ⇒ no value-hash oracle);
+    test_queries_oracle pins it to the exact count within the sketch's
+    stated relative standard deviation. `rsd` trades sketch size for
+    error (HLL++ registers ≈ (1.04/rsd)²)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================

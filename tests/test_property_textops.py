@@ -119,3 +119,27 @@ def test_jaccard_capped_equals_uncapped_when_df_below_cap(spark):
     got_capped = sorted(map(tuple, textops.jaccard_pairs(df, threshold=0.3, max_df=1000).collect()))
     got_plain = sorted(map(tuple, textops.jaccard_pairs(df, threshold=0.3, max_df=None).collect()))
     assert got_capped == got_plain and len(got_capped) > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs_strategy)
+def test_word_occurrences_matches_token_membership_model(spark, docs):
+    """The codegen regexp_count rewrite of stopword/marker counting
+    must equal the definitional model — count of split-on-space tokens
+    exactly equal to a vocab word — on random corpora, including docs
+    that are entirely stopwords or contain repeated/adjacent matches
+    (the lookaround-delimiter edge case)."""
+    from pyspark.sql import functions as F
+
+    vocab = ["the", "of", "a", "x1"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textops.word_occurrences("text", vocab).alias("n")
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        assert got[i] == sum(1 for t in text.split(" ") if t in vocab), (i, text)

@@ -160,6 +160,22 @@ def test_approx_percentile_twin_within_tolerance(spark):
             assert lo <= ar[p] <= hi, (et, p, ar[p], lo, hi)
 
 
+def test_approx_distinct_twin_within_rsd(spark, ddb):
+    """The HyperLogLog++ distinct-count twin must track the exact
+    per-group COUNT(DISTINCT) within a few multiples of its stated
+    relative standard deviation (rsd=0.02 → allow 4σ ≈ 8%)."""
+    from datax_spark.queries import agg_distinct_users_approx
+
+    approx = {r["event_type"]: r for r in agg_distinct_users_approx(spark, SF_DIR).collect()}
+    exact = dict(ddb.execute(
+        "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY event_type"
+    ).fetchall())
+    assert set(exact) == set(approx)
+    for et, n_exact in exact.items():
+        n_approx = approx[et]["n_users_approx"]
+        assert abs(n_approx - n_exact) <= max(2, 0.08 * n_exact), (et, n_approx, n_exact)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     n = df.count()
