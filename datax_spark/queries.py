@@ -1693,9 +1693,18 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simsearch.lsh_cosine_dedup_pairs, 4 bands × 4 planes — OR across
     bands for usable recall at moderate thresholds); pair math
     identical to the exact baseline. The all-pairs
-    dedup_embedding_cosine stays as the small-sf exact baseline."""
+    dedup_embedding_cosine stays as the small-sf exact baseline.
+
+    planes_per_band auto-sizes from corpus size (target bucket ≈ 64
+    rows): at the driver/pytest scales (500 vectors) this resolves to
+    the same 4 planes the oracle SQL pins, so the oracle is exact
+    there; at larger corpora the bucket count grows with N instead of
+    letting candidate sets revert toward O(N²) (measured at N=2000:
+    fixed 4 planes kept 23% of all pairs as candidates)."""
     emb = load(spark, sf_dir, "embeddings")
-    return simsearch.lsh_cosine_dedup_pairs(emb, threshold=0.4)
+    return simsearch.lsh_cosine_dedup_pairs(
+        emb, threshold=0.4, n_bands=4, planes_per_band=None, target_bucket_rows=64
+    )
 
 
 @query(

@@ -161,22 +161,59 @@ def plane_component(plane: int, dim: int) -> float:
     return nibble - 7.5
 
 
-def _sign_bits(v: Column, planes: list[int], n_dims: int) -> Column:
+def _plane_array_sql(plane: int, n_dims: int) -> str:
+    return "array(" + ",".join(
+        f"CAST({plane_component(plane, d)} AS DOUBLE)" for d in range(n_dims)
+    ) + ")"
+
+
+def _proj_sql(vec_sql: str, plane: int, n_dims: int) -> str:
+    """Σ w_d·v_d as a SQL fragment — same zip_with/aggregate fold as
+    dot(), just parsed from one string."""
+    return (
+        f"aggregate(zip_with({_plane_array_sql(plane, n_dims)}, {vec_sql}, "
+        "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sign_bits(vec: str | Column, planes: list[int], n_dims: int) -> Column:
     """Bucket id from the sign bits of the given plane projections
-    (bit j = 1 iff plane planes[j]'s projection > 0)."""
-    out = F.lit(0).cast("long")
-    for j, p in enumerate(planes):
-        w = F.array(*[F.lit(plane_component(p, d)) for d in range(n_dims)])
-        proj = dot(w, v)
-        out = out + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
-    return out
+    (bit j = 1 iff plane planes[j]'s projection > 0).
+
+    Built as ONE F.expr string when given a column NAME: the
+    Column-algebra form (F.array of 64 F.lits + zip_with/aggregate
+    lambdas per plane) costs ~3,200 py4j driver round-trips ≈ 2 s of
+    pure Python DataFrame-build time per LSH query — before Spark even
+    sees a plan. One parsed string per bucket expression is a handful
+    of round-trips for the IDENTICAL expression tree (same zip_with/
+    aggregate fold, so results are bit-identical)."""
+    if isinstance(vec, Column):
+        out = F.lit(0).cast("long")
+        for j, p in enumerate(planes):
+            proj = dot(_plane_array_sql_col(p, n_dims), vec)
+            out = out + F.when(proj > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("long")
+        return out
+    vec_sql = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+    terms = " + ".join(
+        f"(CASE WHEN {_proj_sql(vec_sql, p, n_dims)} > 0 "
+        f"THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j, p in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def _plane_array_sql_col(plane: int, n_dims: int) -> Column:
+    return F.expr(_plane_array_sql(plane, n_dims))
 
 
 def lsh_bucket(vec_col: str | Column, n_planes: int = 8, n_dims: int = 64) -> Column:
     """Sign-LSH bucket id: bit b = 1 iff Σ_d w(b,d)·v_d > 0, with the
     sha256-derived weights above. Closed-form column expression —
     identical in the DuckDB oracle."""
-    return _sign_bits(as_double(vec_col), list(range(n_planes)), n_dims)
+    # pass the NAME through when we have one — the string form builds
+    # the bucket expression in a few py4j calls instead of thousands
+    vec = vec_col if isinstance(vec_col, str) else as_double(vec_col)
+    return _sign_bits(vec, list(range(n_planes)), n_dims)
 
 
 def lsh_band_bucket(
@@ -185,7 +222,8 @@ def lsh_band_bucket(
     """One band of a banded LSH signature: sign bits of planes
     [band·ppb, (band+1)·ppb) — same sha256-derived plane family."""
     planes = [band * planes_per_band + j for j in range(planes_per_band)]
-    return _sign_bits(as_double(vec_col), planes, n_dims)
+    vec = vec_col if isinstance(vec_col, str) else as_double(vec_col)
+    return _sign_bits(vec, planes, n_dims)
 
 
 def lsh_ann_topk(
@@ -340,7 +378,21 @@ def lsh_cosine_dedup_pairs(
     only. One uniform (band, bucket) self-join + a distinct replaces
     the O(N²) cross product; per-pair math identical to
     cosine_dedup_pairs, and the whole index is oracle-reproducible
-    (sha256-derived planes)."""
+    (sha256-derived planes).
+
+    planes_per_band=None auto-sizes from the corpus (size_lsh_planes,
+    ≈log2(N/target_bucket_rows), floor 4): measured at N=2000 the
+    fixed 4-plane default leaves only 16 buckets/band and 470k of 2.0M
+    possible pairs survive as candidates (23% — barely any pruning);
+    bucket count must grow with N or within-bucket exact scoring
+    reverts to O(N²). More planes per band lowers per-band recall
+    (p^planes) — the documented LSH trade; grow n_bands
+    (size_lsh_bands) to compensate where recall is the priority."""
+    if planes_per_band is None:
+        planes_per_band = size_lsh_planes(df.count(), target_bucket_rows)
+    if n_bands is None:
+        # hold recall at a moderate-similarity operating point
+        n_bands = size_lsh_bands(planes_per_band, p_collide=0.7, target_recall=0.5)
     sig = df.select(
         F.col(id_col).alias("id"),
         F.explode(

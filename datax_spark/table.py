@@ -149,10 +149,20 @@ class SnapshotTable:
         final = os.path.join(self._commits_dir, f"v{version:012d}.json")
         with open(tmp, "w") as f:
             json.dump(record, f)
-        if os.path.exists(final):  # single-writer assumption; fail loudly
+        # Optimistic concurrency: claim the version with os.link, which
+        # atomically FAILS if the name exists — unlike exists()+rename
+        # (TOCTOU: rename silently overwrites, so two racing writers
+        # could both "win" and one commit would vanish). Exactly one
+        # concurrent writer links v; every loser gets
+        # ConcurrentCommitError and must re-read current() and retry on
+        # the next version — the same protocol as an Iceberg/Delta
+        # commit race.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             os.unlink(tmp)
-            raise ConcurrentCommitError(f"commit v{version} already exists")
-        os.rename(tmp, final)  # POSIX-atomic within one directory
+            raise ConcurrentCommitError(f"commit v{version} already exists") from None
+        os.unlink(tmp)
 
     def current(self) -> dict:
         v = self._latest_version()

@@ -131,7 +131,9 @@ def test_schema_evolution_add_retype_drop(spark, table):
     assert "content" not in table.snapshot().columns
 
 
-def test_concurrent_commit_rejected(spark, table, tmp_path):
+def test_concurrent_commit_same_version_rejected(spark, table, tmp_path):
+    # NB: distinct name from the two-writer test in this module —
+    # same-named test functions silently shadow each other in pytest.
     t2 = SnapshotTable.load(spark, table.location)
     table.merge(_batch(spark, [(1, "I", "r", "x", "v")]))
     cur = t2._read_commit(0)
@@ -384,6 +386,55 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     snap = SnapshotTable.load(spark, loc).snapshot()
     assert snap.filter(F.col("content") == "a").count() == 5
     assert snap.filter(F.col("content") == "b").count() == 5
+
+
+def test_concurrent_commit_atomic_under_true_race(spark, tmp_path):
+    """EXACTLY one of N threads racing _write_commit for the same
+    version wins, no matter the interleaving: the version claim is an
+    os.link (atomic fail-if-exists), not exists()+rename — the latter
+    has a check-then-act window where two writers both pass the check
+    and rename silently overwrites, losing a commit."""
+    import json
+    import threading
+    from pyspark.sql import types as T
+    from datax_spark.table import ConcurrentCommitError, SnapshotTable
+
+    loc = str(tmp_path / "race")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+    base = t.current()
+
+    n = 8
+    barrier = threading.Barrier(n)
+    results: list[str | None] = [None] * n
+
+    def attempt(i: int) -> None:
+        rec = {**base, "batch_ids": [f"writer-{i}"]}
+        barrier.wait()
+        try:
+            t._write_commit(1, rec)
+            results[i] = "won"
+        except ConcurrentCommitError:
+            results[i] = "lost"
+
+    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(n)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    assert results.count("won") == 1, results
+    assert results.count("lost") == n - 1
+    winner = results.index("won")
+    committed = t._read_commit(1)
+    assert committed["batch_ids"] == [f"writer-{winner}"]
+    # no tmp litter left behind by the losers
+    import os
+    leftovers = [f for f in os.listdir(os.path.join(loc, "_commits")) if f.startswith(".tmp")]
+    assert leftovers == []
 
 
 def test_lookup_casts_key_literal_to_table_type(spark, tmp_path):
