@@ -403,10 +403,46 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
 # ------------------------------------------------------------------ engine
 
 
-def run_job(spark: SparkSession, spec: dict) -> JobResult:
+def substitute_params(spec, params: dict | None) -> tuple[object, set[str]]:
+    """DataX job-JSON variable substitution: `${name}` inside any
+    string value is replaced from `params` — the analogue of the
+    reference CLI's `-p "-Dname=value"` job parameters (the ${bizdate}
+    idiom every scheduled production job uses). Mirrors the reference's
+    leniency: unknown variables stay literal (they may be meaningful to
+    the target system), but each is collected into the returned
+    `unresolved` set so run_job can surface a warning instead of a
+    confusing path error downstream. Returns (new_spec, unresolved)."""
+    import re as _re
+
+    params = params or {}
+    unresolved: set[str] = set()
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str):
+            def repl(m):
+                name = m.group(1)
+                if name in params:
+                    return str(params[name])
+                unresolved.add(name)
+                return m.group(0)
+
+            return _re.sub(r"\$\{([A-Za-z0-9_.-]+)\}", repl, node)
+        return node
+
+    return walk(spec), unresolved
+
+
+def run_job(spark: SparkSession, spec: dict, params: dict | None = None) -> JobResult:
     """Execute one job spec (DataX job JSON shape). Returns counters —
     the analogue of the reference's end-of-job Communication report
     ([UP core/.../statistics/communication/CommunicationTool.java]).
+
+    `params` substitutes ${name} variables throughout the spec before
+    execution (the reference CLI's -p "-Dname=value" surface).
 
     Row/byte counters ride observe() nodes on the single write pass —
     the pipeline executes ONCE per entry, not once per counter. The
@@ -415,6 +451,7 @@ def run_job(spark: SparkSession, spec: dict) -> JobResult:
     import time as _time
 
     t0 = _time.monotonic()
+    spec, unresolved = substitute_params(spec, params)
     job = spec.get("job", spec)
     content = job.get("content")
     if not content:
@@ -426,6 +463,14 @@ def run_job(spark: SparkSession, spec: dict) -> JobResult:
     )
     speed = setting.get("speed", {})
     result = JobResult()
+    if unresolved:
+        msg = (
+            "unresolved job variables left literal: "
+            + ", ".join(sorted("${" + u + "}" for u in unresolved))
+            + " — pass values via run_job(..., params={...})"
+        )
+        warnings.warn(msg, stacklevel=2)
+        result.warnings.append(msg)
     for throttle in ("byte", "record"):
         if speed.get(throttle) is not None:
             msg = (

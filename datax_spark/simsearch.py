@@ -299,6 +299,59 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int | None = None,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine IVF centroids with distributed Lloyd iterations
+    (spherical k-means): assign every vector to its nearest centroid
+    by cosine (broadcast centroids, map-side), then recompute each
+    cell's centroid as the mean of its members' UNIT vectors —
+    posexplode to (cell, pos, x/|v|) → one groupBy(cell, pos) avg →
+    reassemble the array. Averaging normalized vectors (not raw ones)
+    is what makes the spherical k-means objective Σ cos(v, c_assigned)
+    non-decreasing per iteration; cosine is scale-invariant so the
+    mean needs no renormalization for assignment. Cells that lose all
+    members drop out (K can shrink). Each iteration is one broadcast
+    pass + one (cell,pos)-keyed shuffle of N·dims rows — linear in
+    corpus size, the standard distributed k-means step. Returns
+    (id_col=cell id, vec_col=centroid) for ivf_assign/ivf_ann_topk.
+
+    The driver-registered ann_ivf_topk keeps the deterministic seed
+    centroids (first K ids) so its DuckDB oracle reproduces the index;
+    this trainer is the production build step on real corpora."""
+    if n_centroids is None:
+        n_centroids = size_ivf_centroids(df.count())
+    cent = df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    for _ in range(n_iters):
+        assign = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col)
+        unit = (
+            df.join(assign, on=id_col)
+            .withColumn("_n", F.greatest(l2_norm(as_double(vec_col)), F.lit(1e-12)))
+            .select(
+                "cell",
+                F.posexplode(
+                    F.transform(as_double(vec_col), lambda x: x / F.col("_n"))
+                ).alias("pos", "x"),
+            )
+        )
+        means = unit.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+        cent = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+            .select(F.col("cell").alias(id_col), vec_col)
+        )
+    return cent
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -306,6 +359,7 @@ def ivf_ann_topk(
     n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF index (nprobe=1): vectors are
     bucketed by nearest centroid (ivf_assign); each query searches
@@ -317,10 +371,13 @@ def ivf_ann_topk(
 
     n_centroids=None auto-sizes K ≈ √N (size_ivf_centroids) — the
     scale default; the explicit sandbox value (16) keeps the DuckDB
-    oracle's centroid set pinned."""
-    if n_centroids is None:
-        n_centroids = size_ivf_centroids(df.count())
-    centroids = df.filter(F.col(id_col) < n_centroids)
+    oracle's centroid set pinned. Pass `centroids` (e.g. from
+    ivf_train) to search a pre-trained index instead of the
+    deterministic seed set."""
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = size_ivf_centroids(df.count())
+        centroids = df.filter(F.col(id_col) < n_centroids)
     assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     base = df.select(
         F.col(id_col), as_double(vec_col).alias("_v"),

@@ -339,6 +339,34 @@ def test_jdbc_empty_list_params_are_config_errors():
         jdbc_options({"table": "t"})
 
 
+def test_job_variable_substitution(spark):
+    """${name} variables substitute throughout the spec (the reference
+    CLI's -p "-Dname=value" surface, the ${bizdate} idiom of scheduled
+    jobs); unknown variables stay literal — lenient like the reference
+    — but the job reports them as a warning."""
+    spec = {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": "${base}/documents.parquet",
+                                 "column": ["doc_id", "lang"],
+                                 "where": "lang = '${lang}'"}},
+        "writer": {"name": "memwriter",
+                   "parameter": {"view": "subst_${lang}_out"}},
+    }]}}
+    r = run_job(spark, spec, params={"base": SF, "lang": "en"})
+    out = spark.table("subst_en_out")
+    assert out.count() > 0
+    assert out.filter("lang <> 'en'").count() == 0
+    assert not r.warnings
+
+    r2 = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/region.parquet"}},
+        "writer": {"name": "memwriter",
+                   "parameter": {"view": "subst_${missing}_out"}},
+    }]}})
+    assert any("${missing}" in w for w in r2.warnings)
+
+
 def test_jdbc_writer_rejects_presql_postsql(spark):
     """pre/postSql on a jdbc writer would execute against the LOCAL
     Spark catalog, not the target RDBMS (where DataX's WriterUtil runs

@@ -89,3 +89,42 @@ def test_ivf_autosizing_cells_bounded(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == set(range(5))
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_train_lloyd_improves_objective(spark):
+    """Distributed spherical k-means: each Lloyd iteration must not
+    decrease the objective Σ cos(v, assigned centroid) — the property
+    that averaging UNIT vectors guarantees (raw means would not).
+    Trained centroids then plug into ivf_ann_topk unchanged."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    k = 8
+
+    def objective(cent):
+        assign = simsearch.ivf_assign(emb, cent)
+        a = emb.join(assign, on="vec_id")
+        cv = cent.select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("_cv"),
+        )
+        scored = a.join(cv, on="cell").select(
+            simsearch.cosine(
+                simsearch.as_double("embedding"), simsearch.as_double("_cv")
+            ).alias("c")
+        )
+        return scored.agg(F.sum("c")).collect()[0][0]
+
+    seed = emb.filter(F.col("vec_id") < k).select("vec_id", "embedding")
+    obj0 = objective(seed)
+    cent1 = simsearch.ivf_train(emb, n_centroids=k, n_iters=1).cache()
+    obj1 = objective(cent1)
+    cent2 = simsearch.ivf_train(emb, n_centroids=k, n_iters=2).cache()
+    obj2 = objective(cent2)
+    assert obj1 >= obj0 - 1e-6, (obj0, obj1)
+    assert obj2 >= obj1 - 1e-6, (obj1, obj2)
+
+    out = simsearch.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, centroids=cent2
+    )
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == set(range(5))
+    assert all(r["rank"] <= 3 for r in rows)
