@@ -1443,6 +1443,66 @@ def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_hash_split",
+    """
+WITH h AS (SELECT doc_id, lang,
+                  sha256('split:' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+b AS (SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT))) % 10000 AS BIGINT) AS bucket
+      FROM h)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2
+""",
+    demoted=True,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (textops.hash_split):
+    sha256-bucketed, reproducible at any scale and stable as the
+    corpus grows — unlike randomSplit, a row's split never changes on
+    re-run or append. Oracle = the same nibble arithmetic in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        textops.hash_split(docs, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_chunk_windows",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+s AS (SELECT doc_id, tok, len(tok) AS n,
+             unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS start
+      FROM t),
+f AS (SELECT * FROM s WHERE start = 1 OR start - 24 + 32 - 1 < n),
+k AS (SELECT doc_id, tok, n, start,
+             row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_idx
+      FROM f)
+SELECT doc_id, chunk_idx, start,
+       len(list_slice(tok, start, least(start + 31, n))) AS chunk_tokens,
+       sha256(array_to_string(list_slice(tok, start, least(start + 31, n)), ' ')) AS chunk_sha
+FROM k
+""",
+    demoted=True,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows (window 32,
+    stride 24) — the stage in front of every embedding/RAG pipeline
+    (textops.chunk_token_windows): tail always covered, no chunk fully
+    contained in its predecessor, one row per chunk with a per-chunk
+    sha. All array built-ins, zero Python, zero shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return textops.chunk_token_windows(docs, window=32, stride=24)
+
+
+@query(
     "doc_fingerprint",
     f"""
 WITH c AS (SELECT doc_id, string_split(text, '') AS ch FROM documents),

@@ -190,6 +190,78 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# ----------------------------------------------- splits / chunking
+
+def hash_split_bucket(id_col: str | Column, n_buckets: int = 10_000,
+                      salt: str = "split") -> Column:
+    """Deterministic, engine-portable split bucket in [0, n_buckets):
+    the first 8 hex nibbles of sha256(salt:id) as a base-16 integer,
+    mod n_buckets. This is how a training pipeline assigns train/val/
+    test membership REPRODUCIBLY at any scale — no RNG, no sampling
+    seed drift across engines or re-runs, and a row's split never
+    changes when the corpus grows (unlike randomSplit, which
+    reshuffles everything on every new snapshot). sha256 keeps the
+    assignment uniform and the DuckDB oracle bit-identical."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.sha2(F.concat(F.lit(salt + ":"), c.cast("string")), 256)
+    return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column ('train'/'val'/... by cumulative weight
+    over the hash bucket). Map-side only — no shuffle, no RNG."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    n = 10_000
+    bucket = hash_split_bucket(id_col, n, salt)
+    expr: Column | None = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < int(round(acc * n))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(list(weights)[-1])))
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the chunking
+    stage in front of every embedding/RAG pipeline. Chunk starts are
+    1, 1+stride, … while the PREVIOUS chunk did not already reach the
+    end of the document (so the tail is always covered and no chunk is
+    fully contained in its predecessor); the last chunk may be short.
+    Pure array built-ins (sequence → filter → slice), exploded to one
+    row per chunk with a per-chunk sha — no Python, no shuffle."""
+    tok = tokens(text_col)
+    n = F.size(tok)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        # keep a start iff it is the first chunk or the previous
+        # chunk's last token (start - stride + window - 1) fell short
+        # of the document end
+        lambda s: (s == F.lit(1)) | (s - stride + window - 1 < n),
+    )
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("_text"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.split(F.col("_text"), " "), F.col("start"), window)
+    return base.select(
+        id_col, "chunk_idx", "start",
+        F.size(chunk).alias("chunk_tokens"),
+        F.sha2(F.array_join(chunk, " "), 256).alias("chunk_sha"),
+    )
+
+
 # ------------------------------------------------------------ MinHash-LSH
 
 def char_shingles(text_col: str | Column, k: int = 8, stride: int = 4) -> Column:
