@@ -178,6 +178,55 @@ class CDCEngine:
         self._last_metrics = {"rows": n_rows, "wall_sec": wall, "rows_per_sec": n_rows / wall}
         return ci
 
+    # ------------------------------------------------------- dead letter
+
+    def quarantined(self) -> DataFrame | None:
+        """All quarantined rows (every batch subdir), or None if the
+        table has no quarantine yet."""
+        qdir = os.path.join(self.table.location, "_quarantine")
+        if not os.path.isdir(qdir):
+            return None
+        return self.spark.read.option("basePath", qdir).parquet(qdir)
+
+    def replay_quarantine(self, batch_ids: list[str] | None = None) -> CommitInfo | None:
+        """Re-ingest dead-lettered rows after the operator fixes the
+        cause (relaxed ok_condition, corrected transform, upstream
+        backfill) — the missing half of every quarantine story: dirty
+        rows must have a road BACK into the table, not just out of it.
+
+        Rows re-enter through the NORMAL apply path (transform →
+        quarantine check → merge), so still-dirty rows simply
+        re-quarantine under the replay batch id and the error limit
+        applies; rows that now pass land exactly once (the replay
+        batch id is ledgered like any other). Original quarantine
+        subdirs are retained as the audit trail — the engine never
+        deletes evidence; `table.vacuum()` policy owns that.
+
+        Quarantine stores POST-transform rows (ok_condition judged the
+        transformed row), so the replaying engine's transform applies
+        ON TOP of the original one — fixes should be written as
+        idempotent column corrections (coalesce/overwrite), not
+        re-derivations of already-derived columns.
+
+        batch_ids filters which quarantine batches to replay (default
+        all). Returns the replay's CommitInfo, or None when there was
+        nothing to replay."""
+        q = self.quarantined()
+        if q is None:
+            return None
+        if batch_ids is not None:
+            q = q.filter(F.col("batch_id").isin([str(b) for b in batch_ids]))
+        if not q.take(1):
+            return None
+        sources = sorted(
+            r["batch_id"] for r in q.select("batch_id").distinct().collect()
+        )
+        replay_id = "requeue-" + "-".join(sources)
+        return self.apply_batch(
+            q.drop("batch_id").withColumn("_source_file", F.lit(f"quarantine:{replay_id}")),
+            batch_id=replay_id,
+        )
+
     # --------------------------------------------------------- streaming
 
     def run_stream(

@@ -226,6 +226,61 @@ def test_quarantine_batch_id_path_sanitized(spark, tmp_path):
     assert spark.read.parquet(qdir).count() == 10
 
 
+def test_quarantine_replay_reingests_fixed_rows(spark, tmp_path):
+    """Dead-letter replay: rows quarantined under a strict ok_condition
+    re-enter the table through a corrected engine's NORMAL apply path —
+    landing exactly once (replay batch id is ledgered; a second replay
+    is a no-op), with still-dirty rows re-quarantined, and the original
+    quarantine subdirs retained as the audit trail."""
+    import os
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import ErrorLimit
+
+    reg = EpochRegistry([{"epoch": 0, "change": "base",
+                          "columns": {"content": "string"}}])
+    batch = spark.range(20).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.when(F.col("id") < 8, F.lit(None)).otherwise(
+            F.col("id").cast("string")).alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    loc = str(tmp_path / "dlq")
+    t = SnapshotTable.create(spark, loc, reg.schema_for(0),
+                             key_cols=["repo", "path"], num_buckets=4)
+    strict = CDCEngine(spark, t, reg, ok_condition=F.col("content").isNotNull(),
+                       error_limit=ErrorLimit(percentage=0.9))
+    strict.apply_batch(batch, batch_id="b0")
+    assert t.snapshot().count() == 12
+    assert strict.quarantined().count() == 8
+
+    # operator "fixes the cause": nulls are now acceptable as ''
+    from datax_spark.transforms import TransformPipeline
+
+    fixed = CDCEngine(
+        spark, t, reg,
+        transform=TransformPipeline().with_column(
+            "content", F.coalesce(F.col("content"), F.lit(""))
+        ),
+        ok_condition=F.col("content").isNotNull(),
+        error_limit=ErrorLimit(percentage=0.9),
+    )
+    ci = fixed.replay_quarantine()
+    assert ci is not None and not ci.skipped
+    assert t.snapshot().count() == 20        # every dead letter landed
+    # exactly-once: replaying the same quarantine again is a ledger no-op
+    ci2 = fixed.replay_quarantine()
+    assert ci2 is not None and ci2.skipped
+    # audit trail retained
+    assert os.path.isdir(os.path.join(loc, "_quarantine", "batch_id=b0"))
+    # nothing to replay → None
+    empty = CDCEngine(spark, SnapshotTable.create(
+        spark, str(tmp_path / "dlq2"), reg.schema_for(0),
+        key_cols=["repo", "path"], num_buckets=4), reg)
+    assert empty.replay_quarantine() is None
+
+
 def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):
     """The same change stream shipped as a CSV WAL must fold to the
     same final state (header + explicit timestamp format)."""
