@@ -76,6 +76,12 @@ HEADLINE = [
     "stream_stream_interval_join",
     "schema_evolution_replay",
     "cdc_time_travel",
+    # round-3 operators (compare per-query across rounds, not totals)
+    "multimodal_frame_sample",
+    "token_top_terms",
+    "setop_except_intersect",
+    "sample_hash_split",
+    "text_chunk_windows",
 ]
 
 
