@@ -274,12 +274,16 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine (deterministic tie-break on centroid id).
     Centroids are broadcast (K is small by definition), so assignment
     is a map-side O(N·K) pass — the standard inverted-file build.
-    Returns (id_col, cell)."""
+    Returns (id_col, cell); with nprobe > 1 a vector gets one row per
+    probed cell (its nprobe nearest centroids) — used on the QUERY
+    side so a query near a cell boundary still reaches neighbors
+    indexed just across it."""
     c = centroids.select(
         F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"),
         l2_norm(as_double(vec_col)).alias("cn"),
@@ -294,7 +298,7 @@ def ivf_assign(
     w = Window.partitionBy("_vid").orderBy(F.desc("_cos"), F.asc("cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= nprobe)
         .select(F.col("_vid").alias(id_col), F.col("cid").alias("cell"))
     )
 
@@ -360,20 +364,24 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via an IVF index (nprobe=1): vectors are
-    bucketed by nearest centroid (ivf_assign); each query searches
-    ONLY its own cell with exact cosine + window. The centroid seed
-    set is deterministic (the first n_centroids ids) so the DuckDB
-    oracle reproduces the index bit-for-bit. The alternative scale
+    """Approximate top-k via an IVF index: vectors are bucketed by
+    nearest centroid (ivf_assign); each query searches its `nprobe`
+    nearest cells with exact cosine + window. The centroid seed set is
+    deterministic (the first n_centroids ids) so the DuckDB oracle
+    reproduces the nprobe=1 index bit-for-bit. The alternative scale
     path to sign-LSH: cells adapt to the data distribution where LSH
     buckets are data-oblivious.
 
     n_centroids=None auto-sizes K ≈ √N (size_ivf_centroids) — the
     scale default; the explicit sandbox value (16) keeps the DuckDB
     oracle's centroid set pinned. Pass `centroids` (e.g. from
-    ivf_train) to search a pre-trained index instead of the
-    deterministic seed set."""
+    ivf_train) to search a pre-trained index. nprobe > 1 probes the
+    query's next-nearest cells too — the standard recall lever for
+    queries near a cell boundary (corpus rows keep ONE cell each, so a
+    pair can match through at most one probed cell: no dedup needed;
+    probe cost is Q·nprobe·N/K, still nowhere near brute force)."""
     if centroids is None:
         if n_centroids is None:
             n_centroids = size_ivf_centroids(df.count())
@@ -383,7 +391,7 @@ def ivf_ann_topk(
         F.col(id_col), as_double(vec_col).alias("_v"),
         l2_norm(as_double(vec_col)).alias("_n"),
     ).join(assign, on=id_col)
-    q = query_df.select(F.col(id_col).alias("query_id")).join(
+    qvec = query_df.select(F.col(id_col).alias("query_id")).join(
         base.select(
             F.col(id_col).alias("query_id"),
             F.col("_v").alias("qv"),
@@ -392,6 +400,12 @@ def ivf_ann_topk(
         ),
         on="query_id",
     )
+    if nprobe > 1:
+        probe = ivf_assign(
+            query_df, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+        ).select(F.col(id_col).alias("query_id"), "cell")
+        qvec = qvec.drop("cell").join(probe, on="query_id")
+    q = qvec
     c = base.select(
         F.col(id_col).alias("neighbor_id"), F.col("_v").alias("cv"),
         F.col("_n").alias("cn"), F.col("cell")

@@ -128,3 +128,27 @@ def test_ivf_train_lloyd_improves_objective(spark):
     rows = out.collect()
     assert {r["query_id"] for r in rows} == set(range(5))
     assert all(r["rank"] <= 3 for r in rows)
+
+
+def test_ivf_nprobe_improves_recall_toward_exact(spark):
+    """nprobe is the IVF recall lever: probing more cells can only add
+    candidates, so top-k recall vs the exact brute-force answer is
+    monotone in nprobe — and at nprobe = K (all cells) the candidate
+    set is the whole corpus minus nothing, making the result EQUAL the
+    exact top-k."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    k, K = 5, 8
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in simsearch.cosine_topk(emb, queries, k=k).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in simsearch.ivf_ann_topk(
+                   emb, queries, k=k, n_centroids=K, nprobe=nprobe).collect()}
+        return len(got & exact) / len(exact)
+
+    r1, r2, rall = recall(1), recall(2), recall(K)
+    assert r1 <= r2 + 1e-9 <= rall + 2e-9, (r1, r2, rall)
+    assert rall == 1.0, f"nprobe=K must equal exact top-k (recall {rall})"
+    assert r2 >= r1  # the lever actually moves
