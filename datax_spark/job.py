@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession, functions 
 from .table import SnapshotTable
 from .transforms import (
     ErrorLimit,
+    TransformPipeline,
     dx_cast,
     dx_filter,
     dx_pad,
@@ -137,6 +138,29 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
     elif name in ("orcreader", "orc"):
         # hdfsreader fileType=orc ([UP hdfsreader/.../DFSUtil.java])
         df = spark.read.orc(*_paths(p))
+    elif name == "hdfsreader":
+        # The reference's hdfsreader dispatches on fileType
+        # ([UP hdfsreader/.../DFSUtil.java] text/orc/parquet/csv/rc);
+        # paths carry their own scheme (hdfs://, s3a://, file:) so one
+        # reader covers every hadoop-compatible filesystem.
+        ft = str(p.get("fileType", "text")).lower()
+        if ft == "parquet":
+            df = spark.read.parquet(*_paths(p))
+        elif ft == "orc":
+            df = spark.read.orc(*_paths(p))
+        elif ft in ("text", "csv"):
+            df = spark.read.options(
+                sep=p.get("fieldDelimiter", ","),
+                encoding=p.get("encoding", "UTF-8"),
+                nullValue=p.get("nullFormat", "\\N"),
+                dateFormat=p.get("dateFormat", "yyyy-MM-dd"),
+                header=str(bool(p.get("skipHeader", False))).lower(),
+                inferSchema="true",
+            ).csv(_paths(p))
+        elif ft == "json":
+            df = spark.read.json(_paths(p))
+        else:
+            raise JobConfigError(f"hdfsreader fileType {ft!r} (text/csv/orc/parquet/json)")
     elif name == "streamreader":
         # synthetic generator: column = [{"value": x, "type": t} |
         # {"random": "lo, hi", "type": "long"}], sliceRecordCount rows.
@@ -436,6 +460,76 @@ def substitute_params(spec, params: dict | None) -> tuple[object, set[str]]:
     return walk(spec), unresolved
 
 
+def _run_stream_entry(spark: SparkSession, entry: dict, result: JobResult) -> None:
+    """Streaming job entry: `walreader` with `stream: true` +
+    `snapshotwriter` runs the engine's checkpointed Structured
+    Streaming tail from the same job JSON that batch jobs use —
+    DataX's reader→channel→writer lifecycle with the channel replaced
+    by micro-batches. availableNow (default) drains what is present
+    and stops; re-running with the same checkpoint resumes. Reader
+    params: path, schemaEpochs (registry json) OR columns {name:type},
+    maxFilesPerTrigger / maxBytesPerTrigger (speed control), walFormat,
+    availableNow. Writer (snapshotwriter) params: path, upsertKey,
+    numBuckets, checkpoint (REQUIRED — resume identity)."""
+    from .engine import CDCEngine
+    from .schema_evolution import EpochRegistry
+
+    rp = entry["reader"].get("parameter", {})
+    writer = entry.get("writer", {})
+    if writer.get("name") != "snapshotwriter":
+        raise JobConfigError("streaming walreader requires a snapshotwriter")
+    wp = writer.get("parameter", {})
+    ckpt = wp.get("checkpoint")
+    if not ckpt:
+        raise JobConfigError(
+            "snapshotwriter.parameter.checkpoint required for a streaming job "
+            "(it is the resume identity)"
+        )
+    key_cols = wp.get("upsertKey", ["repo", "path"])
+    if rp.get("schemaEpochs"):
+        registry = EpochRegistry.from_json(rp["schemaEpochs"], key_cols=key_cols)
+    elif rp.get("columns"):
+        registry = EpochRegistry(
+            [{"epoch": 0, "change": "base", "columns": dict(rp["columns"])}],
+            key_cols=key_cols,
+        )
+    else:
+        raise JobConfigError("streaming walreader needs schemaEpochs or columns")
+    loc = wp.get("path")
+    if not loc:
+        raise JobConfigError("snapshotwriter.parameter.path required")
+    if os.path.isdir(os.path.join(loc, "_commits")):
+        table = SnapshotTable.load(spark, loc)
+    else:
+        table = SnapshotTable.create(
+            spark, loc, registry.schema_for(0), key_cols=key_cols,
+            num_buckets=int(wp.get("numBuckets", 32)),
+        )
+    transformers = entry.get("transformer")
+    pipeline = TransformPipeline()
+    if transformers:
+        pipeline.transform("job_spec", lambda df: _apply_transformers(df, transformers))
+    v_before = table.current()["version"]
+    engine = CDCEngine(spark, table, registry, transform=pipeline)
+    q = engine.run_stream(
+        rp["path"], ckpt,
+        max_files_per_trigger=int(rp.get("maxFilesPerTrigger", 1)),
+        available_now=bool(rp.get("availableNow", True)),
+        wal_format=rp.get("walFormat", "parquet"),
+        max_bytes_per_trigger=(
+            int(rp["maxBytesPerTrigger"]) if rp.get("maxBytesPerTrigger") else None
+        ),
+    )
+    q.awaitTermination()
+    # counters from the commit-embedded lineage of the NEW commits
+    for rec in table.history():
+        if rec["version"] > v_before:
+            for lin in rec.get("lineage") or []:
+                result.rows_read += int(lin.get("rows", 0))
+                result.rows_written += int(lin.get("rows", 0))
+    result.commit = table.current()
+
+
 def run_job(spark: SparkSession, spec: dict, params: dict | None = None) -> JobResult:
     """Execute one job spec (DataX job JSON shape). Returns counters —
     the analogue of the reference's end-of-job Communication report
@@ -482,6 +576,12 @@ def run_job(spark: SparkSession, spec: dict, params: dict | None = None) -> JobR
             warnings.warn(msg, stacklevel=2)
             result.warnings.append(msg)
     for entry in content:
+        if (
+            entry["reader"].get("name") == "walreader"
+            and entry["reader"].get("parameter", {}).get("stream")
+        ):
+            _run_stream_entry(spark, entry, result)
+            continue
         obs_in, obs_out = Observation(), Observation()
         df = _read(spark, entry["reader"])
         df = df.observe(

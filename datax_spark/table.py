@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 LSN_COL = "_lsn"
 BUCKET_COL = "_bucket"
 OP_COL = "op"
+TOMBSTONE_COL = "_tombstone"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -263,6 +264,49 @@ class SnapshotTable:
         self._write_commit(v, rec)
         return CommitInfo(v, rec["snapshot_id"], None)
 
+    def purge_tombstones(self, before_lsn: int | None = None) -> CommitInfo:
+        """Drop delete markers (all of them, or only those with lsn <
+        before_lsn) in one transactional rewrite. Safe once the
+        source's replay low-watermark has passed the purged lsns — a
+        redelivery older than the watermark can no longer arrive, so
+        the marker has nothing left to defend against. The operational
+        twin of vacuum: vacuum bounds dead FILES, this bounds dead
+        ROWS."""
+        cur = self.current()
+        df = self._read_manifest(cur)
+        dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
+        if before_lsn is not None:
+            dead = dead & (F.col(LSN_COL) < F.lit(before_lsn))
+        kept = df.filter(~dead)
+        key_cols = cur["key_cols"]
+        v = cur["version"] + 1
+        rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.location, rel_dir)
+        (
+            kept.withColumn(BUCKET_COL, bucket_expr(key_cols, cur["num_buckets"]))
+            .repartition(cur["num_buckets"], F.col(BUCKET_COL))
+            .sortWithinPartitions(*key_cols)
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        manifest = {}
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=", 1)[1])
+                manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "manifest": manifest,
+            "lineage": [],
+            "metrics": {"purge_tombstones": before_lsn if before_lsn is not None else "all"},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], None)
+
     def vacuum(self) -> list[str]:
         """Delete data dirs no longer referenced by any retained
         snapshot's manifest. Copy-on-write bucket rewrites strand the
@@ -291,7 +335,11 @@ class SnapshotTable:
 
     def _read_manifest(self, commit: dict, buckets: list[int] | None = None) -> DataFrame:
         schema = T.StructType.fromJson(commit["schema"])
-        full = T.StructType(schema.fields + [T.StructField(LSN_COL, T.LongType())])
+        full = T.StructType(
+            schema.fields
+            + [T.StructField(LSN_COL, T.LongType()),
+               T.StructField(TOMBSTONE_COL, T.BooleanType())]
+        )
         manifest: dict = commit["manifest"]
         items = [
             (int(b), e)
@@ -319,17 +367,28 @@ class SnapshotTable:
         parts = []
         for _sv, paths in sorted(by_ver.items()):
             raw = self.spark.read.parquet(*paths)
-            parts.append(align_to_schema(raw, schema, keep=[LSN_COL]))
+            aligned = align_to_schema(raw, schema, keep=[LSN_COL, TOMBSTONE_COL])
+            if TOMBSTONE_COL not in aligned.columns:  # pre-tombstone files
+                aligned = aligned.withColumn(TOMBSTONE_COL, F.lit(False))
+            parts.append(aligned)
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
         return df
 
     def snapshot(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
-        """Current (or time-travel) table state."""
+        """Current (or time-travel) table state. Tombstone rows (delete
+        markers retained so late out-of-order redeliveries of OLDER
+        updates cannot resurrect a deleted key) are internal: filtered
+        out here unless include_meta."""
         commit = self.current() if version is None else self._read_commit(version)
         df = self._read_manifest(commit)
-        return df if include_meta else df.drop(LSN_COL)
+        if include_meta:
+            return df
+        return (
+            df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .drop(LSN_COL, TOMBSTONE_COL)
+        )
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Row-level change feed between two retained snapshots — the
@@ -344,9 +403,12 @@ class SnapshotTable:
         key_cols = cur["key_cols"]
         schema = T.StructType.fromJson(commit_to["schema"])
         data_cols = [f.name for f in schema.fields]
-        old = align_to_schema(self._read_manifest(self._read_commit(v_from)), schema,
-                              keep=[LSN_COL])
-        new = align_to_schema(self._read_manifest(commit_to), schema, keep=[LSN_COL])
+        def live(commit):
+            m = self._read_manifest(commit)
+            return m.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+
+        old = align_to_schema(live(self._read_commit(v_from)), schema, keep=[LSN_COL])
+        new = align_to_schema(live(commit_to), schema, keep=[LSN_COL])
         o = old.select(*[F.col(c).alias(f"o_{c}") for c in data_cols],
                        F.col(LSN_COL).alias("o_lsn"))
         n = new.select(*[F.col(c).alias(f"n_{c}") for c in data_cols],
@@ -389,7 +451,11 @@ class SnapshotTable:
             *[typed[c].alias(c) for c in key_cols]
         ).select(bucket_expr(key_cols, cur["num_buckets"]).alias("b")).collect()
         bucket = row[0]["b"]
-        df = self._read_manifest(cur, buckets=[bucket]).drop(LSN_COL)
+        df = (
+            self._read_manifest(cur, buckets=[bucket])
+            .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .drop(LSN_COL, TOMBSTONE_COL)
+        )
         for c in key_cols:
             df = df.filter(F.col(c) == F.lit(key[c]).cast(schema[c].dataType))
         return df
@@ -454,13 +520,11 @@ class SnapshotTable:
         # A caller-supplied set is VERIFIED, not trusted: a bucket it
         # misses would make the write replace that bucket's manifest
         # entry with only the batch's rows (silent loss) or silently
-        # skip a delete. Detection is free: every update row already
-        # materializes its bucket as a partition dir of the write —
-        # except delete-winners, which are filtered out pre-write, so
-        # those are KEPT in the output when their bucket is outside
-        # the claimed set (never true for a correct caller). Any stray
-        # dir then shows up in the post-write listdir, and the merge
-        # fails BEFORE the commit rename (the orphan data dir is
+        # skip a delete. Detection is free: every winner — including
+        # delete-winners, which persist as tombstone rows — already
+        # materializes its bucket as a partition dir of the write. Any
+        # stray dir then shows up in the post-write listdir, and the
+        # merge fails BEFORE the commit rename (the orphan data dir is
         # reclaimed by vacuum) — a bad set can never corrupt the table.
         # (Not an observe() guard: Observation.get never resolves for
         # actions inside foreachBatch — the micro-batch runs on a
@@ -476,8 +540,17 @@ class SnapshotTable:
         )
 
         data_cols = [f.name for f in schema.fields]
+        # An existing TOMBSTONE row competes as a delete-winner (op 'D'):
+        # if nothing in the batch outranks its lsn the key stays deleted
+        # — this is what makes deletes safe under out-of-order delivery
+        # (a late redelivery of an OLDER update must not resurrect the
+        # key; without the marker the delete leaves no trace to compare
+        # lsn against and the stale update re-inserts).
+        t_op = F.when(
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("D")
+        ).otherwise(F.lit(None).cast("string"))
         t_side = target.select(
-            *data_cols, LSN_COL, F.lit(None).cast("string").alias(op_col), BUCKET_COL,
+            *data_cols, LSN_COL, t_op.alias(op_col), BUCKET_COL,
             F.lit(1).alias("_pref"),  # ties (re-delivered lsn) → existing row wins
         )
         u_side = updates.select(
@@ -496,13 +569,30 @@ class SnapshotTable:
             .agg(F.max_by(payload, F.struct(F.col(LSN_COL), F.col("_pref"))).alias("w"))
             .select(*[F.col(f"w.{c}").alias(c) for c in data_cols + [LSN_COL, op_col, BUCKET_COL]])
         )
-        keep = (F.col(op_col).isNull()) | (F.col(op_col) != F.lit("D"))
-        if affected_buckets is not None:
-            # bucket-set guard: a delete-winner outside the claimed set
-            # stays in the output purely so its bucket dir betrays the
-            # bad set below; a correct caller never matches this arm
-            keep = keep | ~F.col(BUCKET_COL).isin(affected)
-        survivors = winners.filter(keep).drop(op_col)
+        # Delete-winners become TOMBSTONE rows instead of disappearing:
+        # the marker (with its lsn) is what future merges compare a
+        # late, out-of-order redelivery against. Payload columns are
+        # nulled — the marker carries identity + lsn only. Tombstones
+        # are invisible through snapshot()/lookup()/diff() and
+        # reclaimable via purge_tombstones once the source's replay
+        # low-watermark has passed their lsn.
+        # (Bucket-set guard note: every touched bucket — deletes
+        # included — now materializes a partition dir in the write, so
+        # a caller-claimed affected set that misses one is always
+        # betrayed by the post-write listdir check below.)
+        is_del = F.coalesce(F.col(op_col) == F.lit("D"), F.lit(False))
+        payload_cols = [c for c in data_cols if c not in key_cols]
+        survivors = winners.select(
+            *key_cols,
+            *[
+                F.when(is_del, F.lit(None).cast(schema[c].dataType))
+                .otherwise(F.col(c)).alias(c)
+                for c in payload_cols
+            ],
+            LSN_COL,
+            BUCKET_COL,
+            is_del.alias(TOMBSTONE_COL),
+        )
 
         # Rewrite only affected buckets. Partition count = bucket count
         # (not spark.sql.shuffle.partitions): each write task owns ~one

@@ -226,6 +226,50 @@ def test_quarantine_batch_id_path_sanitized(spark, tmp_path):
     assert spark.read.parquet(qdir).count() == 10
 
 
+def test_out_of_order_segment_delivery_converges(spark, wal_fixture, tmp_path):
+    """Adversarial delivery order: WAL segments re-shipped with
+    REVERSED modification times, so the file source batches them out
+    of LSN order (deletes can arrive before the inserts they kill).
+    Tombstone retention makes the fold order-independent: the final
+    state must still equal the in-order expected fold. (This exact
+    scenario silently lost deletes before tombstones: the delete found
+    no row, left no marker, and the stale earlier update re-inserted —
+    caught by equal-mtime copies scrambling the batch order.)"""
+    import os
+    import shutil
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from datax_spark.engine import wal_checkpoint_run
+    from datax_spark.schema_evolution import EpochRegistry
+
+    wal = str(tmp_path / "wal_rev")
+    os.makedirs(wal)
+    segs = sorted(f for f in os.listdir(wal_fixture.wal_dir) if f.endswith(".parquet"))
+    base = 1_600_000_000
+    for i, f in enumerate(segs):
+        dst = os.path.join(wal, f)
+        shutil.copy(os.path.join(wal_fixture.wal_dir, f), dst)
+        # newest mtime on the FIRST segment → source processes last-first
+        os.utime(dst, (base + (len(segs) - i) * 60, base + (len(segs) - i) * 60))
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    t = wal_checkpoint_run(
+        spark, wal, reg, str(tmp_path / "t"), str(tmp_path / "ck"),
+        max_files_per_trigger=1, num_buckets=8,
+    )
+    got = (
+        t.snapshot()
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(os.path.join(wal_fixture.expected_dir, "final_hashes.parquet"))
+        [["repo", "path", "content_sha256"]]
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_quarantine_replay_reingests_fixed_rows(spark, tmp_path):
     """Dead-letter replay: rows quarantined under a strict ok_condition
     re-enter the table through a corrected engine's NORMAL apply path —

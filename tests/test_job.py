@@ -339,6 +339,100 @@ def test_jdbc_empty_list_params_are_config_errors():
         jdbc_options({"table": "t"})
 
 
+def test_streaming_job_spec_runs_engine_with_resume(spark, wal_fixture, tmp_path):
+    """A walreader entry with stream: true + snapshotwriter runs the
+    REAL checkpointed streaming engine from the job JSON: first run
+    drains all but the withheld segment; re-running the SAME spec after
+    the segment lands resumes from the checkpoint and applies only the
+    new data, converging to the fixture's expected fold."""
+    import os
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from datax_spark.table import SnapshotTable
+
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    segs = sorted(f for f in os.listdir(wal_fixture.wal_dir) if f.endswith(".parquet"))
+    for f in segs[:-1]:
+        shutil.copy(os.path.join(wal_fixture.wal_dir, f), os.path.join(wal, f))
+
+    loc = str(tmp_path / "table")
+    spec = {"job": {"content": [{
+        "reader": {"name": "walreader",
+                   "parameter": {"path": wal, "stream": True,
+                                 "schemaEpochs": wal_fixture.schema_epochs_path,
+                                 "maxFilesPerTrigger": 2}},
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "upsertKey": ["repo", "path"],
+                                 "numBuckets": 8,
+                                 "checkpoint": str(tmp_path / "ckpt")}},
+    }]}}
+    r1 = run_job(spark, spec)
+    assert r1.rows_written > 0
+    v1 = SnapshotTable.load(spark, loc).current()["version"]
+
+    # the withheld segment arrives; same spec, same checkpoint → resume
+    shutil.copy(os.path.join(wal_fixture.wal_dir, segs[-1]), os.path.join(wal, segs[-1]))
+    run_job(spark, spec)
+    t = SnapshotTable.load(spark, loc)
+    assert t.current()["version"] > v1
+
+    got = (
+        t.snapshot()
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(os.path.join(wal_fixture.expected_dir, "final_hashes.parquet"))
+        [["repo", "path", "content_sha256"]]
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    with pytest.raises(JobConfigError, match="checkpoint"):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "walreader",
+                       "parameter": {"path": wal, "stream": True,
+                                     "schemaEpochs": wal_fixture.schema_epochs_path}},
+            "writer": {"name": "snapshotwriter", "parameter": {"path": loc}},
+        }]}})
+
+
+def test_hdfsreader_filetype_dispatch(spark, tmp_path):
+    """hdfsreader dispatches on fileType like the reference's DFSUtil;
+    the same entry shape reads parquet and csv."""
+    import os
+
+    src = spark.range(10).selectExpr("id", "CAST(id * 2 AS STRING) AS v")
+    pq = str(tmp_path / "pq")
+    src.write.parquet(pq)
+    csv = str(tmp_path / "csv")
+    src.write.option("header", "true").csv(csv)
+
+    r1 = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "hdfsreader",
+                   "parameter": {"path": pq, "fileType": "parquet",
+                                 "column": ["id", "v"]}},
+        "writer": {"name": "memwriter", "parameter": {"view": "hdfs_pq"}},
+    }]}})
+    assert r1.rows_read == 10
+    r2 = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "hdfsreader",
+                   "parameter": {"path": csv, "fileType": "csv",
+                                 "skipHeader": True}},
+        "writer": {"name": "memwriter", "parameter": {"view": "hdfs_csv"}},
+    }]}})
+    assert r2.rows_read == 10
+    with pytest.raises(JobConfigError, match="fileType"):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "hdfsreader",
+                       "parameter": {"path": pq, "fileType": "rcfile"}},
+            "writer": {"name": "memwriter", "parameter": {}},
+        }]}})
+
+
 def test_job_variable_substitution(spark):
     """${name} variables substitute throughout the spec (the reference
     CLI's -p "-Dname=value" surface, the ${bizdate} idiom of scheduled

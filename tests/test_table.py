@@ -100,10 +100,31 @@ def test_bucket_pruning_manifest(spark, table):
     assert len(changed) == 1  # only p0's bucket was rewritten
 
 
-def test_empty_bucket_removed(spark, table):
+def test_delete_leaves_tombstone_until_purged(spark, table):
+    """A fully-deleted key is INVISIBLE through snapshot() but its
+    bucket retains a tombstone marker (the lsn future merges compare
+    late out-of-order redeliveries against); purge_tombstones()
+    reclaims the marker once the replay low-watermark has passed."""
+    from pyspark.sql import functions as F
+    from datax_spark.table import LSN_COL, TOMBSTONE_COL
+
     table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]))
     assert table.current()["manifest"]
     table.merge(_batch(spark, [(2, "D", "r", "x", None)]))
+    assert table.snapshot().count() == 0
+    meta = table.snapshot(include_meta=True).collect()
+    assert len(meta) == 1 and meta[0][TOMBSTONE_COL] and meta[0][LSN_COL] == 2
+    # a LATE redelivery of the OLDER update must NOT resurrect the key
+    table.merge(_batch(spark, [(1, "I", "r", "x", "v1")]), batch_id="late")
+    assert table.snapshot().count() == 0
+    # a genuinely NEWER insert does resurrect it
+    table.merge(_batch(spark, [(3, "I", "r", "x", "v3")]))
+    assert table.snapshot().collect()[0]["content"] == "v3"
+    # delete again, then purge: watermark below the marker keeps it
+    table.merge(_batch(spark, [(4, "D", "r", "x", None)]))
+    table.purge_tombstones(before_lsn=4)
+    assert table.snapshot(include_meta=True).filter(F.col(TOMBSTONE_COL)).count() == 1
+    table.purge_tombstones()
     assert table.current()["manifest"] == {}
     assert table.snapshot().count() == 0
 
