@@ -38,7 +38,8 @@ def create_table_sql(
 ) -> str:
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     return (
-        f"CREATE TABLE {identifier} ({cols}, `_lsn` bigint) USING iceberg "
+        f"CREATE TABLE {identifier} ({cols}, `_lsn` bigint, `_tombstone` boolean) "
+        f"USING iceberg "
         f"PARTITIONED BY (bucket({num_buckets}, `{bucket_col}`)) "
         f"TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
         f"'write.distribution-mode'='hash', 'format-version'='2')"
@@ -75,19 +76,34 @@ def merge_sql(
     source_view: str = "_datax_merge_src",
 ) -> str:
     """The one MERGE INTO statement the engine issues per micro-batch:
-    LSN-guarded LWW upsert + delete, insert of unseen non-delete keys.
-    The `s.lsn > t._lsn` guard is what makes replays idempotent at the
-    row level even beyond the batch-id ledger."""
+    LSN-guarded LWW upsert + tombstoned delete, insert of unseen keys
+    (deletes of unseen keys insert a MARKER row, not nothing). The
+    `s.lsn > t._lsn` guard makes replays idempotent at the row level
+    beyond the batch-id ledger, and — same contract as
+    SnapshotTable.merge — deletes set `_tombstone` instead of DELETE,
+    so a late out-of-order redelivery of an older update cannot
+    resurrect the key (a physical DELETE leaves no lsn to compare
+    against). Readers filter `_tombstone`; reclaim via a periodic
+    `DELETE FROM t WHERE _tombstone AND _lsn < <replay low-watermark>`."""
     on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
-    set_cols = ", ".join(f"t.`{c}` = s.`{c}`" for c in data_cols if c not in key_cols)
-    ins_cols = ", ".join(f"`{c}`" for c in data_cols + ["_lsn"])
-    ins_vals = ", ".join(f"s.`{c}`" for c in data_cols) + f", s.`{lsn_col}`"
+    payload = [c for c in data_cols if c not in key_cols]
+    del_sets = ", ".join(f"t.`{c}` = NULL" for c in payload)
+    del_sets = (del_sets + ", " if del_sets else "") + (
+        f"t.`_lsn` = s.`{lsn_col}`, t.`_tombstone` = true"
+    )
+    set_cols = ", ".join(f"t.`{c}` = s.`{c}`" for c in payload)
+    ins_cols = ", ".join(f"`{c}`" for c in data_cols + ["_lsn", "_tombstone"])
+    ins_vals = ", ".join(f"s.`{c}`" for c in data_cols) + f", s.`{lsn_col}`, false"
+    tomb_ins_vals = ", ".join(
+        f"s.`{c}`" if c in key_cols else "NULL" for c in data_cols
+    ) + f", s.`{lsn_col}`, true"
     return (
         f"""
             MERGE INTO {identifier} t USING {source_view} s ON {on}
-            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` AND s.`{op_col}` = 'D' THEN DELETE
-            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` THEN UPDATE SET {set_cols}, t.`_lsn` = s.`{lsn_col}`
-            WHEN NOT MATCHED AND s.`{op_col}` <> 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` AND s.`{op_col}` = 'D' THEN UPDATE SET {del_sets}
+            WHEN MATCHED AND s.`{lsn_col}` > t.`_lsn` THEN UPDATE SET {set_cols}, t.`_lsn` = s.`{lsn_col}`, t.`_tombstone` = false
+            WHEN NOT MATCHED AND s.`{op_col}` = 'D' THEN INSERT ({ins_cols}) VALUES ({tomb_ins_vals})
+            WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
     )
 
@@ -126,12 +142,20 @@ class IcebergTable:
 
     @property
     def schema(self) -> T.StructType:
-        fields = [f for f in self.spark.table(self.identifier).schema.fields if f.name != "_lsn"]
+        fields = [
+            f for f in self.spark.table(self.identifier).schema.fields
+            if f.name not in ("_lsn", "_tombstone")
+        ]
         return T.StructType(fields)
 
     def snapshot(self, include_meta: bool = False) -> DataFrame:
         df = self.spark.table(self.identifier)
-        return df if include_meta else df.drop("_lsn")
+        if include_meta:
+            return df
+        return (
+            df.filter(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+            .drop("_lsn", "_tombstone")
+        )
 
     def current(self) -> dict:
         row = (
@@ -193,9 +217,11 @@ class IcebergTable:
         affected_buckets: list[int] | None = None,
     ) -> CommitInfo:
         """Same contract as SnapshotTable.merge, planned by Iceberg:
-        in-batch LWW pre-dedup (map-side max_by) then one MERGE INTO —
-        Iceberg plans the equi-join against only the matching bucket
-        partitions (its own form of our affected-bucket pruning)."""
+        in-batch LWW pre-dedup (map-side max_by) then one MERGE INTO
+        with TOMBSTONED deletes (see merge_sql — delivery-order
+        independence needs the marker's lsn) — Iceberg plans the
+        equi-join against only the matching bucket partitions (its own
+        form of our affected-bucket pruning)."""
         if batch_id is not None and batch_id in self.committed_batch_ids():
             c = self.current()
             return CommitInfo(c["version"], c["snapshot_id"], batch_id, skipped=True)

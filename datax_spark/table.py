@@ -492,14 +492,21 @@ class SnapshotTable:
         metrics: dict | None = None,
         affected_buckets: list[int] | None = None,
     ) -> CommitInfo:
-        """Apply a change batch: op I/U upsert, op D delete, last writer
-        (highest lsn) wins, re-delivery (lsn ≤ applied) is a no-op.
+        """Apply a change batch: op I/U upsert, op D delete (retained
+        as a tombstone marker), last writer (highest lsn) wins,
+        re-delivery (lsn ≤ applied) is a no-op — including a late
+        OUT-OF-ORDER redelivery of an update older than a delete,
+        which the tombstone's lsn rejects.
 
-        Equivalent Iceberg SQL (cluster deployment):
+        Equivalent Iceberg SQL (cluster deployment — iceberg.merge_sql
+        builds exactly this, golden-tested):
           MERGE INTO t USING b ON t.repo=b.repo AND t.path=b.path
-          WHEN MATCHED AND b.lsn > t._lsn AND b.op='D' THEN DELETE
-          WHEN MATCHED AND b.lsn > t._lsn THEN UPDATE SET *
-          WHEN NOT MATCHED AND b.op!='D' THEN INSERT *
+          WHEN MATCHED AND b.lsn > t._lsn AND b.op='D'
+            THEN UPDATE SET payload=NULL, _lsn=b.lsn, _tombstone=true
+          WHEN MATCHED AND b.lsn > t._lsn
+            THEN UPDATE SET *, _tombstone=false
+          WHEN NOT MATCHED AND b.op='D' THEN INSERT (keys, _lsn, _tombstone=true)
+          WHEN NOT MATCHED THEN INSERT (*, _tombstone=false)
         """
         cur = self.current()
         if batch_id is not None and batch_id in set(cur["batch_ids"]):

@@ -28,7 +28,8 @@ SCHEMA = T.StructType([
 def test_create_table_sql_golden():
     assert create_table_sql("cat.db.src", SCHEMA, "path", 64) == (
         "CREATE TABLE cat.db.src (`repo` string, `path` string, "
-        "`commit_id` string, `lang` string, `content` string, `_lsn` bigint) "
+        "`commit_id` string, `lang` string, `content` string, "
+        "`_lsn` bigint, `_tombstone` boolean) "
         "USING iceberg PARTITIONED BY (bucket(64, `path`)) "
         "TBLPROPERTIES ('write.merge.mode'='merge-on-read', "
         "'write.distribution-mode'='hash', 'format-version'='2')"
@@ -56,17 +57,30 @@ def test_merge_sql_golden():
     assert "t.`repo` = s.`repo` AND t.`path` = s.`path`" in got
     # LSN guard on BOTH matched branches — row-level idempotence
     assert got.count("s.`lsn` > t.`_lsn`") == 2
-    assert "WHEN MATCHED AND s.`lsn` > t.`_lsn` AND s.`op` = 'D' THEN DELETE" in got
+    # deletes TOMBSTONE (same contract as SnapshotTable.merge): a
+    # physical DELETE would leave no lsn for a late out-of-order
+    # redelivery to compare against
+    assert "THEN DELETE" not in got
+    assert (
+        "WHEN MATCHED AND s.`lsn` > t.`_lsn` AND s.`op` = 'D' THEN UPDATE SET "
+        "t.`content` = NULL, t.`_lsn` = s.`lsn`, t.`_tombstone` = true" in got
+    )
     # key columns never appear in the UPDATE SET list
     assert "t.`repo` = s.`repo`," not in got.split("UPDATE SET")[1]
     assert (
-        "UPDATE SET t.`content` = s.`content`, t.`_lsn` = s.`lsn`"
-        in got
+        "UPDATE SET t.`content` = s.`content`, t.`_lsn` = s.`lsn`, "
+        "t.`_tombstone` = false" in got
+    )
+    # an unseen key's delete inserts a MARKER row (payload NULL)
+    assert (
+        "WHEN NOT MATCHED AND s.`op` = 'D' THEN INSERT "
+        "(`repo`, `path`, `content`, `_lsn`, `_tombstone`) "
+        "VALUES (s.`repo`, s.`path`, NULL, s.`lsn`, true)" in got
     )
     assert (
-        "WHEN NOT MATCHED AND s.`op` <> 'D' THEN INSERT "
-        "(`repo`, `path`, `content`, `_lsn`) "
-        "VALUES (s.`repo`, s.`path`, s.`content`, s.`lsn`)" in got
+        "WHEN NOT MATCHED THEN INSERT "
+        "(`repo`, `path`, `content`, `_lsn`, `_tombstone`) "
+        "VALUES (s.`repo`, s.`path`, s.`content`, s.`lsn`, false)" in got
     )
 
 
@@ -75,4 +89,5 @@ def test_merge_sql_custom_lsn_op_cols():
                     source_view="stage")
     assert "USING stage s ON t.`k` = s.`k`" in got
     assert got.count("s.`seq` > t.`_lsn`") == 2
-    assert "s.`kind` = 'D'" in got and "s.`kind` <> 'D'" in got
+    assert "s.`kind` = 'D'" in got
+    assert "`_tombstone` = true" in got and "THEN DELETE" not in got
