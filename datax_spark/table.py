@@ -264,6 +264,25 @@ class SnapshotTable:
         self._write_commit(v, rec)
         return CommitInfo(v, rec["snapshot_id"], None)
 
+    def merge_with_retry(self, batch_df: DataFrame, retries: int = 3, **kw) -> CommitInfo:
+        """Multi-writer merge: on a lost commit race
+        (ConcurrentCommitError from the atomic version claim), re-read
+        the new current state and redo the whole merge — the loser's
+        orphaned data dir is reclaimed by vacuum. This is the standard
+        optimistic-concurrency retry loop of a transactional lake
+        commit; correctness needs no coordination because merge derives
+        everything (schema, manifest, ledger) from current() at entry
+        and the claim is atomic."""
+        last: ConcurrentCommitError | None = None
+        for _ in range(retries + 1):
+            try:
+                return self.merge(batch_df, **kw)
+            except ConcurrentCommitError as e:
+                last = e
+        raise ConcurrentCommitError(
+            f"merge lost the commit race {retries + 1} times: {last}"
+        )
+
     def purge_tombstones(self, before_lsn: int | None = None) -> CommitInfo:
         """Drop delete markers (all of them, or only those with lsn <
         before_lsn) in one transactional rewrite. Safe once the

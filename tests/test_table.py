@@ -409,6 +409,61 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     assert snap.filter(F.col("content") == "b").count() == 5
 
 
+def test_merge_with_retry_recovers_from_lost_race(spark, tmp_path):
+    """A writer that loses the commit race must converge by re-merging
+    against the NEW current state: simulate the race by injecting a
+    competing commit right before the victim's first claim — the retry
+    lands on the next version with both writers' rows intact and the
+    ledger holding both batch ids."""
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import ConcurrentCommitError, SnapshotTable
+
+    loc = str(tmp_path / "mr")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+    rival = SnapshotTable.load(spark, loc)
+
+    def batch(tag, lsn0):
+        return spark.range(3).select(
+            F.lit("r").alias("repo"), F.concat(F.lit(tag), F.col("id")).alias("path"),
+            F.lit(tag).alias("content"), (F.col("id") + lsn0).alias("lsn"),
+            F.lit("U").alias("op"))
+
+    orig = t._write_commit
+    fired = {"n": 0}
+
+    def racing_write(version, record):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # the rival commits the same version first — the victim's
+            # atomic claim must fail, not overwrite
+            rival.merge(batch("b", 100), batch_id="rival")
+        return orig(version, record)
+
+    t._write_commit = racing_write
+    ci = t.merge_with_retry(batch("a", 0), batch_id="victim")
+    assert not ci.skipped and fired["n"] == 1
+    snap = SnapshotTable.load(spark, loc)
+    assert snap.snapshot().filter(F.col("content") == "a").count() == 3
+    assert snap.snapshot().filter(F.col("content") == "b").count() == 3
+    assert {"victim", "rival"} <= snap.committed_batch_ids()
+
+    # retries exhausted → the error names the losing streak
+    t2 = SnapshotTable.load(spark, loc)
+    orig2 = t2._write_commit
+
+    def always_lose(version, record):
+        rival.merge(batch("c", 200 + version))
+        return orig2(version, record)
+
+    t2._write_commit = always_lose
+    with pytest.raises(ConcurrentCommitError, match="lost the commit race"):
+        t2.merge_with_retry(batch("d", 900), retries=1)
+
+
 def test_concurrent_commit_atomic_under_true_race(spark, tmp_path):
     """EXACTLY one of N threads racing _write_commit for the same
     version wins, no matter the interleaving: the version claim is an
