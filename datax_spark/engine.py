@@ -36,18 +36,25 @@ class CDCEngine:
         transform: TransformPipeline | None = None,
         ok_condition: Column | None = None,
         error_limit: ErrorLimit | None = None,
+        commit_retries: int = 0,
     ):
         """ok_condition: rows failing it (post-transform) are diverted
         to <table>/_quarantine instead of merged — the reference's
         collectDirtyRecord (SURVEY.md §2.8). error_limit aborts the
         batch BEFORE the merge commit when dirty counts exceed it, so
-        an aborted batch replays cleanly (no partial state)."""
+        an aborted batch replays cleanly (no partial state).
+
+        commit_retries > 0 makes each merge survive losing the commit
+        race to ANOTHER writer on the same table (an ad-hoc backfill
+        next to the streaming tail) via table.merge_with_retry; the
+        default 0 keeps the single-writer fail-loud behavior."""
         self.spark = spark
         self.table = table
         self.registry = registry
         self.transform = transform or TransformPipeline()
         self.ok_condition = ok_condition
         self.error_limit = error_limit or ErrorLimit()
+        self.commit_retries = commit_retries
         self._applied_epoch = self._infer_table_epoch()
 
     def _infer_table_epoch(self) -> int:
@@ -162,7 +169,14 @@ class CDCEngine:
             )
             self._applied_epoch = nxt
 
-        ci = self.table.merge(
+        merge = (
+            self.table.merge
+            if self.commit_retries == 0
+            else lambda *a, **kw: self.table.merge_with_retry(
+                *a, retries=self.commit_retries, **kw
+            )
+        )
+        ci = merge(
             batch_df,
             lsn_col="lsn",
             op_col="op",

@@ -2004,6 +2004,74 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_session_counts",
+    """
+WITH o AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM o),
+s AS (SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS sid
+      FROM m)
+SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    demoted=True,  # §2.9 depth: the native streaming SESSION WINDOW
+    # (state-store session merging) next to the registered batch
+    # sessionize; pytest-oracle-checked, no driver slot spent
+)
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (F.session_window, 30-min gap): the
+    state-store-managed counterpart of the batch lag→flag→running-sum
+    sessionization — sessions grow and MERGE across micro-batches in
+    the session-window state store. Boundary semantics: an event at
+    exactly prev + gap starts a NEW session (session interval is
+    [start, last+gap)), so the oracle's fold uses >=, unlike the
+    registered batch query's strict >. Session identity for the
+    comparison = (user, first-event epoch)."""
+    import uuid
+
+    ev_schema = load(spark, sf_dir, "events").schema
+    name = f"ssw_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "365 days")
+    )
+    agg = (
+        stream.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
+
+
+@query(
     "stream_dedup_exactly_once",
     """
 WITH d AS (SELECT DISTINCT event_id, user_id, event_type FROM events)

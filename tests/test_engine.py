@@ -325,6 +325,47 @@ def test_quarantine_replay_reingests_fixed_rows(spark, tmp_path):
     assert empty.replay_quarantine() is None
 
 
+def test_engine_commit_retries_survive_rival_writer(spark, tmp_path):
+    """commit_retries lets the streaming engine coexist with an ad-hoc
+    writer on the same table: a rival commit injected right before the
+    engine's claim loses the version, and the retried merge lands both
+    writers' batches with the ledger intact."""
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry([{"epoch": 0, "change": "base",
+                          "columns": {"content": "string"}}])
+    loc = str(tmp_path / "cr")
+    t = SnapshotTable.create(spark, loc, reg.schema_for(0),
+                             key_cols=["repo", "path"], num_buckets=4)
+    rival = SnapshotTable.load(spark, loc)
+
+    def batch(tag, lsn0):
+        return spark.range(3).select(
+            F.lit("r").alias("repo"), F.concat(F.lit(tag), F.col("id")).alias("path"),
+            F.lit(tag).alias("content"), (F.col("id") + lsn0).alias("lsn"),
+            F.lit("U").alias("op"))
+
+    orig = t._write_commit
+    fired = {"n": 0}
+
+    def racing_write(version, record):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            rival.merge(batch("riv", 100), batch_id="rival")
+        return orig(version, record)
+
+    t._write_commit = racing_write
+    e = CDCEngine(spark, t, reg, commit_retries=2)
+    ci = e.apply_batch(batch("eng", 0), batch_id="engine-b0")
+    assert not ci.skipped
+    snap = SnapshotTable.load(spark, loc)
+    assert snap.snapshot().count() == 6
+    assert {"engine-b0", "rival"} <= snap.committed_batch_ids()
+
+
 def test_csv_wal_replay_equivalence(spark, wal_fixture, tmp_path):
     """The same change stream shipped as a CSV WAL must fold to the
     same final state (header + explicit timestamp format)."""
