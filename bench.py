@@ -82,6 +82,7 @@ HEADLINE = [
     "setop_except_intersect",
     "sample_hash_split",
     "text_chunk_windows",
+    "stream_session_counts",
 ]
 
 
