@@ -215,3 +215,42 @@ def map_in_arrow_sha(df: DataFrame, text_col: str, out_col: str = "sha_arrow") -
         + [f"{out_col} string"]
     )
     return df.mapInArrow(_sha_batches, out_schema)
+
+
+def word_window_udtf():
+    """Python UDTF (§2.10 — the table-function escape hatch, Spark 4's
+    analogue of a user-defined exploder): splits a text into
+    fixed-size word windows, one OUTPUT ROW per window. Returns the
+    decorated class for registration/lateral use. This exists to cover
+    the UDTF surface; the PRODUCTION chunker is the codegen array form
+    (textops.chunk_token_windows) — per-row Python table functions are
+    the slow path by design rule."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk: string, idx: int")
+    class WordWindows:
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            if not toks:
+                return
+            for i in range(0, len(toks), n):
+                yield " ".join(toks[i:i + n]), i // n
+
+    return WordWindows
+
+
+def weighted_mean_udaf():
+    """Grouped-aggregate pandas UDF (§2.10 — the UDAF surface):
+    weight-averaged value per group, vectorized over each group's
+    Arrow batch. Spark plans it like any aggregate (map-side partials
+    are NOT available for grouped-agg pandas UDFs — one shuffle of the
+    raw rows — which is why built-in aggregates remain the hot path;
+    this covers the API for the aggregations no built-in expresses)."""
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        den = w.sum()
+        return float((v * w).sum() / den) if den else float("nan")
+
+    return weighted_mean

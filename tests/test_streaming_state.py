@@ -121,6 +121,80 @@ def test_audit_idle_timeout_evicts_state(spark, tmp_path):
     assert rows9.count((2, 2, 0)) >= 2, f"eviction must emit final totals: {rows9}"
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """§2.9 semantics pin, with the SUBTLETY measured here: the
+    watermark is a STATE-EVICTION bound, not an input filter — a late
+    row is guaranteed dropped only once its window's state has been
+    evicted, and eviction lags the watermark by a batch (a late row
+    arriving one batch after its window closed, before eviction ran,
+    is still aggregated; observed directly). So the guaranteed
+    contract is: after an intermediate batch evicts + finalizes the
+    window, a later late row is dropped and the window is NEVER
+    re-emitted. That bounded-state guarantee (plus the bounded
+    too-late acceptance window) is what makes infinite-stream
+    aggregation viable."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    b0 = pd.DataFrame({
+        "user_id": [1, 1, 1],
+        "ts": [t0, t0 + pd.Timedelta(minutes=5), t0 + pd.Timedelta(hours=3)],
+    })
+    b1 = pd.DataFrame({
+        # advances the watermark AND triggers eviction+emission of the
+        # [00:00, 01:00) window (count 2) at batch end
+        "user_id": [1],
+        "ts": [t0 + pd.Timedelta(hours=6)],
+    })
+    b2 = pd.DataFrame({
+        # 00:10 is late AND its window's state is already evicted →
+        # guaranteed drop; 09:00 keeps the stream advancing
+        "user_id": [1, 1],
+        "ts": [t0 + pd.Timedelta(minutes=10), t0 + pd.Timedelta(hours=9)],
+    })
+
+    src = tmp_path / "wal"
+    src.mkdir()
+    for i, b in enumerate((b0, b1, b2)):
+        # micros, not pandas' default nanos — Spark's vectorized parquet
+        # reader rejects NANOS-typed INT64 for timestamp columns
+        p = src / f"seg_{i:04d}.parquet"
+        b.to_parquet(p, index=False,
+                     coerce_timestamps="us", allow_truncated_timestamps=True)
+        # distinct mtimes pin arrival order (equal mtimes let the file
+        # source group/order arbitrarily — see the out-of-order tests)
+        os.utime(p, (1_600_000_000 + i * 60, 1_600_000_000 + i * 60))
+
+    stream = (
+        # read as NTZ and cast (the session is pinned UTC so the
+        # instant is unchanged)
+        spark.readStream.schema("user_id long, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w0"), "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wm_late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [tuple(r) for r in spark.table("wm_late_test").collect()]
+    first = [r for r in rows if r[0] == "2026-01-01 00:00"]
+    # finalized ONCE with its 2 on-time events; the evicted-window late
+    # row neither re-opens nor re-emits it
+    assert first == [("2026-01-01 00:00", 2)], rows
+
+
 def test_audit_no_timeout_unchanged(spark, tmp_path):
     """Default (no idle_timeout) keeps NoTimeout semantics: the same
     reappearing key CONTINUES its audit (3 events, gap 2→3 not

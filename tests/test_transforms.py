@@ -102,3 +102,40 @@ def test_map_in_arrow_sha_parity(spark):
     out = map_in_arrow_sha(docs, "text").withColumn("sha_sql", content_sha256("text"))
     assert out.filter(F.col("sha_arrow") != F.col("sha_sql")).count() == 0
     assert out.count() == docs.count()
+
+
+def test_word_window_udtf_lateral(spark):
+    """UDTF surface (§2.10): the table function fans a row out to one
+    row per word window via LATERAL, and agrees with a Python model."""
+    from datax_spark.transforms import word_window_udtf
+
+    spark.udtf.register("word_windows", word_window_udtf())
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y")], "id long, text string"
+    )
+    df.createOrReplaceTempView("udtf_src")
+    rows = spark.sql(
+        "SELECT id, w.idx, w.chunk FROM udtf_src, "
+        "LATERAL word_windows(text, 2) AS w ORDER BY id, idx"
+    ).collect()
+    got = [(r["id"], r["idx"], r["chunk"]) for r in rows]
+    assert got == [
+        (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"),
+        (2, 0, "x y"),
+    ]
+
+
+def test_weighted_mean_udaf_grouped(spark):
+    """UDAF surface (§2.10): grouped-agg pandas UDF computes the
+    weighted mean per group, matching the closed-form expression."""
+    from pyspark.sql import functions as F
+    from datax_spark.transforms import weighted_mean_udaf
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 2.0), ("b", 20.0, 0.0)],
+        "g string, v double, w double",
+    )
+    wm = weighted_mean_udaf()
+    got = {r["g"]: r["m"] for r in df.groupBy("g").agg(wm("v", "w").alias("m")).collect()}
+    assert abs(got["a"] - 2.5) < 1e-12      # (1*1 + 3*3) / 4
+    assert abs(got["b"] - 10.0) < 1e-12     # (10*2 + 20*0) / 2
