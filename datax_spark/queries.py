@@ -1443,6 +1443,83 @@ def text_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_filter",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+b AS (SELECT doc_id,
+             len(tok) - 1 AS n_bigrams,
+             len(list_distinct(list_transform(range(1, len(tok)),
+                                              i -> tok[i] || ' ' || tok[i + 1]))) AS n_distinct
+      FROM t)
+SELECT doc_id,
+       round(CASE WHEN n_bigrams > 0
+                  THEN 1.0 - n_distinct / CAST(n_bigrams AS DOUBLE)
+                  ELSE 0.0 END, 4) AS dup_bigram_frac,
+       CASE WHEN n_bigrams > 0
+                 AND 1.0 - n_distinct / CAST(n_bigrams AS DOUBLE) > 0.2
+            THEN true ELSE false END AS is_repetitive
+FROM b
+""",
+    demoted=True,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: the duplicate-bigram fraction
+    (1 − distinct/total) flags boilerplate/looping text — one of the
+    standard LLM-corpus quality gates. Pure array built-ins per row,
+    no shuffle; threshold 0.2 mirrors the published heuristic's
+    shape."""
+    tok = textops.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
+    )
+    n_bi = (F.size(tok) - 1).cast("double")
+    frac = F.when(
+        n_bi > 0, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi
+    ).otherwise(F.lit(0.0))
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(frac, 4).alias("dup_bigram_frac"),
+        (frac > 0.2).alias("is_repetitive"),
+    )
+
+
+@query(
+    "text_char_entropy",
+    """
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(n) AS tot FROM f GROUP BY doc_id)
+SELECT f.doc_id,
+       round(-sum((n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE))), 4)
+         AS char_entropy_bits
+FROM f JOIN tot ON f.doc_id = tot.doc_id
+GROUP BY f.doc_id
+""",
+    demoted=True,  # float parity note: log2 comes from each engine's
+    # libm — last-ulp differences are possible, so this op lives in the
+    # DEMOTED registry where the pytest oracle compares floats at 1e-9
+    # tolerance instead of the driver's value hash
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy over characters (bits/char) — the
+    perplexity-proxy curation gate that catches gibberish (too high)
+    and degenerate repetition (too low). explode → per-doc char
+    frequencies (one uniform hash shuffle) → entropy fold; at corpus
+    scale the shuffle key (doc_id, char) is uniform by construction."""
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    freq = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        freq.withColumn("_term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_term"), 4).alias("char_entropy_bits"))
+    )
+
+
+@query(
     "sample_hash_split",
     """
 WITH h AS (SELECT doc_id, lang,
