@@ -479,6 +479,43 @@ class SnapshotTable:
             df = df.filter(F.col(c) == F.lit(key[c]).cast(schema[c].dataType))
         return df
 
+    def lookup_many(self, keys: list[dict]) -> DataFrame:
+        """Batched point lookup: hash every key driver-side (a tiny
+        list, not a data collect), scan ONLY the union of their
+        buckets, then semi-join on the key set — k keys touch at most
+        min(k, num_buckets) buckets regardless of table size, where a
+        naive approach would either full-scan once or issue k separate
+        single-bucket jobs. The multi-entity read path of a CDC
+        serving layer (fetch current state for a batch of changed
+        keys)."""
+        cur = self.current()
+        key_cols = cur["key_cols"]
+        for key in keys:
+            if set(key) != set(key_cols):
+                raise ValueError(f"lookup needs the full key {key_cols}, got {sorted(key)}")
+        if not keys:
+            schema = T.StructType.fromJson(cur["schema"])
+            return self.spark.range(0).select(
+                *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        schema = T.StructType.fromJson(cur["schema"])
+        key_df = self.spark.createDataFrame(
+            [tuple(k[c] for c in key_cols) for k in keys],
+            T.StructType([schema[c] for c in key_cols]),
+        )
+        buckets = sorted(
+            r["b"]
+            for r in key_df.select(
+                bucket_expr(key_cols, cur["num_buckets"]).alias("b")
+            ).distinct().collect()
+        )
+        df = (
+            self._read_manifest(cur, buckets=buckets)
+            .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .drop(LSN_COL, TOMBSTONE_COL)
+        )
+        return df.join(F.broadcast(key_df), on=key_cols, how="left_semi")
+
     # ---------- schema evolution ----------
 
     def evolve_schema(self, new_schema: T.StructType, change: str = "") -> CommitInfo:

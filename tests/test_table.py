@@ -409,6 +409,42 @@ def test_concurrent_commit_rejected(spark, tmp_path):
     assert snap.filter(F.col("content") == "b").count() == 5
 
 
+def test_lookup_many_prunes_to_key_buckets(spark, tmp_path):
+    """Batched point lookup returns exactly the requested live keys
+    (typed-literal hashing per key), skips deleted keys, and rejects
+    partial keys; empty input → empty typed frame."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F, types as T
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "lm")
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=8)
+    batch = spark.range(50).select(
+        F.lit("r").alias("repo"), F.concat(F.lit("p"), F.col("id")).alias("path"),
+        F.col("id").cast("string").alias("content"),
+        F.col("id").alias("lsn"), F.lit("U").alias("op"))
+    t.merge(batch)
+    t.merge(spark.range(1).select(
+        F.lit("r").alias("repo"), F.lit("p7").alias("path"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(100).alias("lsn"), F.lit("D").alias("op")))
+
+    got = {r["path"]: r["content"] for r in t.lookup_many([
+        {"repo": "r", "path": "p3"},
+        {"repo": "r", "path": "p7"},      # deleted → absent
+        {"repo": "r", "path": "p11"},
+        {"repo": "r", "path": "nope"},    # never existed → absent
+    ]).collect()}
+    assert got == {"p3": "3", "p11": "11"}
+    assert t.lookup_many([]).count() == 0
+    with _pytest.raises(ValueError, match="full key"):
+        t.lookup_many([{"repo": "r"}])
+
+
 def test_merge_with_retry_recovers_from_lost_race(spark, tmp_path):
     """A writer that loses the commit race must converge by re-merging
     against the NEW current state: simulate the race by injecting a
