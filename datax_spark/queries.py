@@ -1644,6 +1644,92 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_training_set",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+                         x -> list_contains({_STOPWORD_SQL}, x))) AS n_sw
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, text, tok, n_tokens,
+         round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+               + 0.5 * (1.0 - abs(n_sw / CAST(n_tokens AS DOUBLE) - 0.2) / 0.8), 4) AS quality,
+         CASE WHEN n_tokens > 1
+              THEN 1.0 - len(list_distinct(list_transform(range(1, len(tok)),
+                                           i -> tok[i] || ' ' || tok[i + 1])))
+                   / CAST(len(tok) - 1 AS DOUBLE)
+              ELSE 0.0 END AS dup_frac
+  FROM t
+),
+gated AS (SELECT * FROM scored WHERE quality >= 0.3 AND dup_frac <= 0.2),
+keep AS (SELECT sha256(text) AS sha, min(doc_id) AS keep_id
+         FROM gated GROUP BY sha256(text)),
+deduped AS (
+  SELECT g.doc_id, g.lang FROM gated g
+  JOIN keep k ON sha256(g.text) = k.sha AND g.doc_id = k.keep_id
+),
+h AS (SELECT doc_id, lang,
+             sha256('split:' || CAST(doc_id AS VARCHAR)) AS hx FROM deduped),
+b AS (SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT))) % 10000 AS BIGINT) AS bucket
+      FROM h)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2
+""",
+    demoted=True,
+)
+def corpus_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-set build, end to end: quality gate →
+    repetition gate (duplicate-bigram fraction ≤ 0.2) → exact dedup
+    (keep lowest doc_id per content sha) → deterministic hash split →
+    per-(split, lang) counts. Catalyst fuses all three per-row gates
+    into the scan; the whole pipeline is ONE content-sha shuffle plus
+    the final tiny aggregation — the shape a 100 TB corpus build
+    actually runs. (Entropy gating stays out of the filter: its libm
+    log2 could flip membership at a cutoff boundary between engines —
+    score with text_char_entropy, gate with exact-arithmetic signals.)"""
+    docs = load(spark, sf_dir, "documents")
+    tok = textops.tokens("text")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tok, i), F.element_at(tok, i + 1)),
+    )
+    n_bi = (F.size(tok) - 1).cast("double")
+    dup_frac = F.when(
+        F.size(tok) > 1, F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi
+    ).otherwise(F.lit(0.0))
+    gated = docs.select(
+        "doc_id", "lang", "text",
+        textops.quality_score("text").alias("quality"),
+        dup_frac.alias("dup_frac"),
+    ).filter((F.col("quality") >= 0.3) & (F.col("dup_frac") <= 0.2))
+    keep = (
+        gated.select(textops.content_hash("text").alias("keep_sha"), "doc_id")
+        .groupBy("keep_sha")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    deduped = (
+        gated.withColumn("sha", textops.content_hash("text"))
+        .join(keep, (F.col("sha") == F.col("keep_sha")) & (F.col("doc_id") == F.col("keep_id")))
+        .select("doc_id", "lang")
+    )
+    return (
+        textops.hash_split(deduped, id_col="doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "agg_value_percentiles",
     """
 SELECT event_type,
