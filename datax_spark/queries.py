@@ -1644,6 +1644,102 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_value_histogram",
+    """
+WITH b AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 7) AS bin
+  FROM events
+)
+SELECT event_type, bin,
+       CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+       count(*) AS n
+FROM b GROUP BY event_type, bin
+""",
+    demoted=True,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram per group (8 bins of width 25, clamped) —
+    the dashboard/profiling aggregation shape: pure floor arithmetic
+    (exact across engines), map-side partial counts, one uniform
+    shuffle on (group, bin). At 100 TB this is the only histogram
+    that scales — per-row bin assignment + additive counts; no sort,
+    no per-group value collection."""
+    ev = load(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 25.0).cast("long"), F.lit(0)), F.lit(7)
+    )
+    return (
+        ev.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", "bin",
+            (F.col("bin") * 25.0).cast("double").alias("bin_lo"), "n",
+        )
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+  FROM documents
+),
+df_t AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+n AS (SELECT count(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, tk.t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) tk
+  GROUP BY doc_id, tk.t
+),
+scored AS (
+  SELECT tf.doc_id, tf.t,
+         tf.tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df_t.df) AS score
+  FROM tf JOIN df_t ON tf.t = df_t.t
+),
+r AS (SELECT doc_id, t, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, t) AS rk
+      FROM scored)
+SELECT doc_id, t AS term, round(score, 4) AS tfidf, rk AS rank
+FROM r WHERE rk <= 3
+""",
+    demoted=True,  # ln() is libm-dependent at the last ulp → demoted
+    # registry (pytest float-tolerance oracle). Ties in score order
+    # deterministically on the term.
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms — the classic keyword/feature
+    extractor: one explode for term frequencies, one for document
+    frequencies (both uniform hash shuffles), a broadcast of the df
+    table (vocabulary-sized), and a per-doc top-k window. At corpus
+    scale the df table is the only global state and it is
+    aggregate-then-broadcast, never a row-level join fan-out."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(textops.tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        docs.select("doc_id", F.explode(F.array_distinct(textops.tokens("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_t), on="t").select(
+        "doc_id", "t",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("t").alias("term"),
+                F.round("score", 4).alias("tfidf"), "rank")
+    )
+
+
+@query(
     "corpus_training_set",
     f"""
 WITH t AS (
