@@ -1644,6 +1644,66 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel",
+    """
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'signup') AS t1
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN u ON e.user_id = u.user_id
+  WHERE e.event_type = 'click' AND u.t1 IS NOT NULL AND e.ts > u.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT count(*) FILTER (WHERE t1 IS NOT NULL) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click_after_signup,
+       (SELECT count(*) FROM p) AS n_purchase_after_click
+FROM u
+""",
+    demoted=True,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up → then clicked → then
+    purchased, each stage strictly after the previous one's FIRST
+    occurrence. Three conditional min-aggregations co-partitioned on
+    user_id (one shuffle layout reused; the stage joins are
+    key-aligned, never row fan-outs) — the scalable funnel shape, vs
+    the naive per-user event-list collection."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1.filter(F.col("t1").isNotNull()), on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count(F.when(F.col("t1").isNotNull(), 1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@query(
     "agg_value_histogram",
     """
 WITH b AS (
