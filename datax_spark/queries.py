@@ -1644,6 +1644,58 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_retention_cohorts",
+    """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_n
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort, week_n,
+       count(*) AS n_active_users
+FROM activity WHERE week_n <= 4
+GROUP BY cohort_week, week_n
+""",
+    demoted=True,
+)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, with
+    the count still active N weeks later (weeks 0-4) — the standard
+    retention matrix. One aggregation for cohort assignment (broadcast
+    back to the fact side, user-keyed), one distinct + count; all date
+    arithmetic exact (epoch seconds / 604800)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(first, on="user_id")
+        .select(
+            "user_id", "cohort_week",
+            (
+                F.floor(
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                ) / 604800
+            ).cast("long").alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        act.filter(F.col("week_n") <= 4)
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"), "week_n"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@query(
     "event_funnel",
     """
 WITH u AS (
