@@ -181,13 +181,18 @@ def test_example_job_specs_run(spark, tmp_path):
     import json
     import shutil
 
+    from datax_spark.fixtures import generate_wal
+
     shutil.rmtree("/tmp/datax_out", ignore_errors=True)
+    # the streaming example tails ${work}/wal — provide a fixture WAL
+    work = str(tmp_path / "work")
+    generate_wal(work, n_keys=40, n_events=200, n_segments=2)
     specs = sorted(glob.glob("examples/job_specs/*.json"))
-    assert len(specs) >= 3
+    assert len(specs) >= 4
     for path in specs:
         with open(path) as f:
             spec = json.load(f)
-        r = run_job(spark, spec)
+        r = run_job(spark, spec, params={"work": work})
         assert r.rows_read > 0, path
 
 
@@ -510,3 +515,26 @@ def test_partitioned_and_compressed_writes(spark, tmp_path):
         "writer": {"name": "memwriter", "parameter": {"view": "gz_back"}},
     }]}})
     assert back.rows_read == spark.read.parquet(f"{SF}/region.parquet").count()
+
+
+def test_run_job_spec_cli_param_parsing():
+    """The CLI accepts both the reference's -p "-Dkey=value" shape and
+    plain key=value; fused argv keeps argparse from rejecting
+    dash-prefixed values."""
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "run_job_spec",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs", "run_job_spec.py"),
+    )
+    mod = ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod.parse_param("-Dbizdate=2026-08-17") == ("bizdate", "2026-08-17")
+    assert mod.parse_param("work=/tmp/x") == ("work", "/tmp/x")
+    assert mod.parse_param("-Dk=a=b") == ("k", "a=b")
+    assert mod._fuse_param_flags(["spec.json", "-p", "-Dk=v", "--cores", "8"]) == [
+        "spec.json", "-p=-Dk=v", "--cores", "8"
+    ]
+    assert mod._fuse_param_flags(["spec.json", "-p", "k=v"]) == ["spec.json", "-p", "k=v"]
