@@ -1276,6 +1276,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    """
+WITH RECURSIVE shingle AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
+                               s -> sha256(substr(text, s, 8)))) AS h
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, band, min(substr(h, band * 16 + 1, 16)) AS bucket
+  FROM shingle, (SELECT unnest(range(0, 4)) AS band)
+  GROUP BY doc_id, band
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+FROM reach GROUP BY a
+""",
+    demoted=True,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation — the step after pair generation
+    that every dedup pipeline needs (keep one representative per
+    component): MinHash-LSH candidate pairs → distributed
+    connected components via min-label propagation (graph.py; one
+    node-keyed join + groupBy per round, converges in
+    O(component diameter)). cluster_id = min member id, so "keep the
+    cluster representative" is `WHERE doc_id = cluster_id`. Oracle =
+    a recursive-CTE transitive closure over the same pair SQL."""
+    from .graph import connected_components
+
+    pairs = textops.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n_bands=4, k=8, stride=4
+    )
+    return connected_components(pairs)
+
+
+@query(
     "dedup_simhash",
     f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
