@@ -45,6 +45,69 @@ def test_repeated_kill_resume_until_drained(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_tombstone_purge_vacuum_cycles_stay_bounded(spark, tmp_path):
+    """Long-running maintenance profile: many delete-heavy batches
+    interleaved with purge_tombstones + expire_snapshots + vacuum.
+    Storage must stay BOUNDED (live data dirs do not accumulate),
+    every cycle's end state must match the live-key model, and the
+    batch-id ledger must survive every maintenance op — the invariant
+    that makes maintenance safe to run under exactly-once delivery."""
+    from pyspark.sql import types as T
+    from datax_spark.table import TOMBSTONE_COL
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    loc = str(tmp_path / "tb")
+    t = SnapshotTable.create(spark, loc, schema, key_cols=["repo", "path"], num_buckets=4)
+
+    n_keys, lsn = 40, 0
+    model: dict[str, str] = {}
+    for cycle in range(6):
+        rows = []
+        for k in range(n_keys):
+            lsn += 1
+            key = f"p{k}"
+            if (k + cycle) % 3 == 0:           # a third of keys deleted
+                rows.append((lsn, "D", "r", key, None))
+                model.pop(key, None)
+            else:
+                rows.append((lsn, "U", "r", key, f"v{cycle}-{k}"))
+                model[key] = f"v{cycle}-{k}"
+        pdf = pd.DataFrame(rows, columns=["lsn", "op", "repo", "path", "content"])
+        t.merge(
+            spark.createDataFrame(
+                pdf, schema="lsn long, op string, repo string, path string, content string"
+            ),
+            batch_id=f"cycle-{cycle}",
+        )
+        if cycle % 2 == 1:                     # maintenance every other cycle
+            t.purge_tombstones(before_lsn=lsn + 1)
+            t.expire_snapshots(keep_last=1)
+            t.vacuum()
+
+    got = {r["path"]: r["content"] for r in t.snapshot().collect()}
+    assert got == model
+    # ledger intact through purge/expire/vacuum → redelivery still no-ops
+    assert {f"cycle-{c}" for c in range(6)} <= t.committed_batch_ids()
+    ci = t.merge(
+        spark.createDataFrame(
+            pd.DataFrame([(1, "U", "r", "p0", "stale")],
+                         columns=["lsn", "op", "repo", "path", "content"]),
+            schema="lsn long, op string, repo string, path string, content string",
+        ),
+        batch_id="cycle-0",
+    )
+    assert ci.skipped
+    # storage bounded: only the dirs the retained snapshots reference
+    data_dirs = os.listdir(os.path.join(loc, "data"))
+    assert len(data_dirs) <= 4, data_dirs
+    # post-purge tombstone volume bounded to the most recent cycle only
+    n_tomb = t.snapshot(include_meta=True).filter(F.col(TOMBSTONE_COL)).count()
+    assert n_tomb <= n_keys
+
+
 def test_crash_between_schema_evolve_and_merge(spark, tmp_path):
     """Epoch walk commits schema changes BEFORE the batch merge; a
     crash in that window leaves an evolved-but-unmerged table. The
