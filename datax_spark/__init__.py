@@ -14,3 +14,23 @@ Everything here is built on the public Apache Spark DataFrame/SQL API.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (`from datax_spark import CDCEngine`) —
+    resolved on first access so importing the package for metadata
+    never pays the pyspark import."""
+    _API = {
+        "CDCEngine": ("datax_spark.engine", "CDCEngine"),
+        "SnapshotTable": ("datax_spark.table", "SnapshotTable"),
+        "IcebergTable": ("datax_spark.iceberg", "IcebergTable"),
+        "EpochRegistry": ("datax_spark.schema_evolution", "EpochRegistry"),
+        "run_job": ("datax_spark.job", "run_job"),
+        "get_spark": ("datax_spark.session", "get_spark"),
+    }
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'datax_spark' has no attribute {name!r}")
