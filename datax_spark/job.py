@@ -380,6 +380,14 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
         if p.get("compress"):  # DataX txtfilewriter compress: gzip/bzip2/...
             opts["compression"] = p["compress"]
         _w(df.write.mode(mode).options(**opts)).csv(p["path"])
+    elif name in ("jsonlwriter", "jsonwriter"):
+        # JSON-lines shards — the canonical LLM-training-corpus export
+        # format ({"text": ...} per line); compress + partitionBy make
+        # it the terminal stage of a curation job
+        opts = {}
+        if p.get("compress"):
+            opts["compression"] = p["compress"]
+        _w(df.write.mode(mode).options(**opts)).json(p["path"])
     elif name == "streamwriter":
         df.show(int(p.get("limit", 20)), truncate=False)
     elif name == "memwriter":

@@ -538,3 +538,30 @@ def test_run_job_spec_cli_param_parsing():
         "spec.json", "-p=-Dk=v", "--cores", "8"
     ]
     assert mod._fuse_param_flags(["spec.json", "-p", "k=v"]) == ["spec.json", "-p", "k=v"]
+
+
+def test_jsonl_writer_roundtrip(spark, tmp_path):
+    """jsonlwriter emits JSON-lines shards (gzip-compressed, the LLM
+    corpus export format) that the jsonreader reads back losslessly."""
+    out = str(tmp_path / "jsonl")
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": f"{SF}/documents.parquet",
+                                 "column": ["doc_id", "text", "lang"]}},
+        "writer": {"name": "jsonlwriter",
+                   "parameter": {"path": out, "writeMode": "truncate",
+                                 "compress": "gzip"}},
+    }]}})
+    import glob
+    assert glob.glob(f"{out}/*.json.gz"), "shards must be gzip JSONL"
+    back = run_job(spark, {"job": {"content": [{
+        "reader": {"name": "jsonreader", "parameter": {"path": out}},
+        "writer": {"name": "memwriter", "parameter": {"view": "jsonl_back"}},
+    }]}})
+    orig = spark.read.parquet(f"{SF}/documents.parquet")
+    got = spark.table("jsonl_back")
+    assert got.count() == orig.count()
+    assert {"doc_id", "text", "lang"} == set(got.columns)
+    a = {r["doc_id"]: r["text"] for r in got.collect()}
+    b = {r["doc_id"]: r["text"] for r in orig.select("doc_id", "text").collect()}
+    assert a == b
