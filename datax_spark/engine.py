@@ -196,11 +196,20 @@ class CDCEngine:
 
     def quarantined(self) -> DataFrame | None:
         """All quarantined rows (every batch subdir), or None if the
-        table has no quarantine yet."""
+        table has no quarantine yet.
+
+        mergeSchema: batches quarantined under different schema epochs
+        carry different columns; a plain read would take ONE file's
+        footer schema and silently null out the other epochs' columns
+        — replay would then re-ingest those rows with data lost."""
         qdir = os.path.join(self.table.location, "_quarantine")
         if not os.path.isdir(qdir):
             return None
-        return self.spark.read.option("basePath", qdir).parquet(qdir)
+        return (
+            self.spark.read.option("basePath", qdir)
+            .option("mergeSchema", "true")
+            .parquet(qdir)
+        )
 
     def replay_quarantine(self, batch_ids: list[str] | None = None) -> CommitInfo | None:
         """Re-ingest dead-lettered rows after the operator fixes the
@@ -235,9 +244,22 @@ class CDCEngine:
         sources = sorted(
             r["batch_id"] for r in q.select("batch_id").distinct().collect()
         )
-        replay_id = "requeue-" + "-".join(sources)
+        # Fixed-length replay id: concatenating source batch ids grows
+        # unboundedly (and compounds across repeated replays,
+        # 'requeue-requeue-…'), overflowing the 255-byte hive-dir name
+        # limit when this id itself gets quarantined. A sha of the
+        # sorted source set keeps the id deterministic (same sources →
+        # same id → exactly-once replay) at constant length; the source
+        # batch ids stay auditable through lineage (_source_file below
+        # carries each row's originating quarantine batch).
+        import hashlib
+
+        digest = hashlib.sha256("-".join(sources).encode()).hexdigest()[:12]
+        replay_id = f"requeue-{digest}"
         return self.apply_batch(
-            q.drop("batch_id").withColumn("_source_file", F.lit(f"quarantine:{replay_id}")),
+            q.withColumn(
+                "_source_file", F.concat(F.lit("quarantine:"), F.col("batch_id"))
+            ).drop("batch_id"),
             batch_id=replay_id,
         )
 

@@ -67,6 +67,14 @@ def evolve_sql_statements(
     return stmts
 
 
+def tombstone_migration_sql(identifier: str) -> str:
+    """Upgrade DDL for a table created before tombstoned deletes: the
+    `_tombstone` column is metadata-only to add in Iceberg format v2,
+    and a NULL value reads as not-deleted everywhere (every consumer
+    coalesces it to false) — so the migration is safe on live data."""
+    return f"ALTER TABLE {identifier} ADD COLUMN `_tombstone` boolean"
+
+
 def merge_sql(
     identifier: str,
     data_cols: list[str],
@@ -148,7 +156,20 @@ class IcebergTable:
         ]
         return T.StructType(fields)
 
+    def _ensure_tombstone_column(self) -> None:
+        """Tables created by a pre-tombstone create_table_sql lack
+        `_tombstone`; the first merge/snapshot after upgrading would
+        fail analysis. Detect and ALTER in (metadata-only in v2; NULL
+        reads as not-deleted — see tombstone_migration_sql). The
+        SnapshotTable backend handles the same upgrade via
+        coalesce-on-read; Iceberg needs the physical column for
+        MERGE's UPDATE SET."""
+        cols = {f.name for f in self.spark.table(self.identifier).schema.fields}
+        if "_tombstone" not in cols:
+            self.spark.sql(tombstone_migration_sql(self.identifier))
+
     def snapshot(self, include_meta: bool = False) -> DataFrame:
+        self._ensure_tombstone_column()
         df = self.spark.table(self.identifier)
         if include_meta:
             return df
@@ -226,6 +247,7 @@ class IcebergTable:
             c = self.current()
             return CommitInfo(c["version"], c["snapshot_id"], batch_id, skipped=True)
 
+        self._ensure_tombstone_column()
         data_cols = [f.name for f in self.schema.fields]
         key_cols = self.key_cols
         payload = F.struct(*[F.col(c) for c in data_cols], F.col(lsn_col), F.col(op_col))

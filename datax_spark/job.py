@@ -101,20 +101,82 @@ def _row_bytes(schema) -> Column:
 # ------------------------------------------------------------------ readers
 
 
+# DataX column-config type names → Spark cast types
+# ([UP common/.../element/Column.java] Type enum: the reference's
+# readers carry an explicit per-column type list; DATE covers
+# date+datetime so it maps to timestamp, BYTES to binary).
+_DATAX_TYPES = {
+    "long": "long", "double": "double", "string": "string",
+    "bool": "boolean", "boolean": "boolean", "date": "timestamp",
+    "bytes": "binary",
+}
+
+
+def _datax_cast_type(t: str) -> str:
+    return _DATAX_TYPES.get(str(t).lower(), str(t))
+
+
+def _typed_columns(columns: list | None) -> bool:
+    """True when the reader's column config carries explicit types for
+    file positions ({"index": i, "type": t} / {"name": n, "type": t})
+    — the signal to SKIP schema inference (which silently retypes
+    values: leading-zero ids become ints, date-ish strings become
+    timestamps) and honor the configured types instead."""
+    return bool(columns) and any(
+        isinstance(c, dict) and "type" in c and ("index" in c or "name" in c)
+        for c in columns
+    )
+
+
 def _apply_column_projection(df: DataFrame, columns: list | None) -> DataFrame:
-    """DataX reader `column` config: list of names, indices, or
-    {"value": const, "type": t} constant entries; "*" = everything."""
+    """DataX reader `column` config: list of names, indices,
+    {"index"|"name": …, "type": t} typed entries, or
+    {"value": const, "type": t} constants; "*" = everything."""
     if not columns or columns == ["*"]:
         return df
     cols = []
     for i, c in enumerate(columns):
-        if isinstance(c, dict):
-            cols.append(F.lit(c["value"]).cast(c.get("type", "string")).alias(f"const_{i}"))
+        if isinstance(c, dict) and "value" in c:
+            cols.append(
+                F.lit(c["value"]).cast(_datax_cast_type(c.get("type", "string")))
+                .alias(f"const_{i}")
+            )
+        elif isinstance(c, dict):
+            if "index" in c:
+                col, alias = F.col(df.columns[int(c["index"])]), df.columns[int(c["index"])]
+            elif "name" in c:
+                col, alias = F.col(c["name"]), c["name"]
+            else:
+                raise JobConfigError(
+                    f"column entry {c!r} needs one of value/index/name"
+                )
+            if "type" in c:
+                col = col.cast(_datax_cast_type(c["type"]))
+            cols.append(col.alias(alias))
         elif isinstance(c, int):
             cols.append(F.col(df.columns[c]))
         else:
             cols.append(F.col(c))
     return df.select(*cols)
+
+
+def _csv_read(spark: SparkSession, p: dict) -> DataFrame:
+    """txtfilereader/csvreader/hdfsreader(text|csv) file scan. Schema
+    discipline follows the reference's explicit column-type semantics
+    ([UP hdfsreader/.../DFSUtil.java] reads everything as text and
+    casts per the configured column types): when the config declares
+    types, every field is read AS STRING and the projection applies
+    the declared casts — inference would silently retype values
+    (leading-zero ids → ints, date-like strings → timestamps).
+    Inference remains the fallback for type-less configs only."""
+    return spark.read.options(
+        sep=p.get("fieldDelimiter", ","),
+        encoding=p.get("encoding", "UTF-8"),
+        nullValue=p.get("nullFormat", "\\N"),
+        dateFormat=p.get("dateFormat", "yyyy-MM-dd"),
+        header=str(bool(p.get("skipHeader", False))).lower(),
+        inferSchema=str(not _typed_columns(p.get("column"))).lower(),
+    ).csv(_paths(p))
 
 
 def _read(spark: SparkSession, reader: dict) -> DataFrame:
@@ -123,16 +185,7 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
     if name in ("parquetreader", "parquet"):
         df = spark.read.parquet(*_paths(p))
     elif name in ("txtfilereader", "csvreader", "ossreader", "ftpreader"):
-        df = (
-            spark.read.options(
-                sep=p.get("fieldDelimiter", ","),
-                encoding=p.get("encoding", "UTF-8"),
-                nullValue=p.get("nullFormat", "\\N"),
-                dateFormat=p.get("dateFormat", "yyyy-MM-dd"),
-                header=str(bool(p.get("skipHeader", False))).lower(),
-                inferSchema="true",
-            ).csv(_paths(p))
-        )
+        df = _csv_read(spark, p)
     elif name in ("jsonreader", "json"):
         df = spark.read.json(_paths(p))
     elif name in ("orcreader", "orc"):
@@ -149,14 +202,7 @@ def _read(spark: SparkSession, reader: dict) -> DataFrame:
         elif ft == "orc":
             df = spark.read.orc(*_paths(p))
         elif ft in ("text", "csv"):
-            df = spark.read.options(
-                sep=p.get("fieldDelimiter", ","),
-                encoding=p.get("encoding", "UTF-8"),
-                nullValue=p.get("nullFormat", "\\N"),
-                dateFormat=p.get("dateFormat", "yyyy-MM-dd"),
-                header=str(bool(p.get("skipHeader", False))).lower(),
-                inferSchema="true",
-            ).csv(_paths(p))
+            df = _csv_read(spark, p)
         elif ft == "json":
             df = spark.read.json(_paths(p))
         else:

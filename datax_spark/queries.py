@@ -668,6 +668,9 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY p_brand, s_name
 """,
+    demoted=True,  # r4: slot freed for text_tfidf_rank — this star
+    # join overlaps join_broadcast_revenue's family (broadcast dims +
+    # money rollup); full oracle coverage continues via pytest/check
 )
 def agg_brand_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-two-dims star join (part + supplier both broadcast) with
@@ -1248,9 +1251,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    """
+_MINHASH_PAIRS_SQL = """
 WITH shingle AS (
   SELECT doc_id,
          unnest(list_transform(range(1, greatest(length(text) - 7, 1) + 1, 4),
@@ -1264,8 +1265,10 @@ sig AS (
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-""",
-)
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: char-8-gram shingles (stride 4),
     4 bands, sha256-derived min-hashes — engine-portable by
@@ -1273,6 +1276,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), n_bands=4, k=8, stride=4
     )
+
+
+@query("dedup_minhash_incremental", _MINHASH_PAIRS_SQL, demoted=True)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup maintenance (dedup_index.MinHashIndex) —
+    the production shape at 10^10 docs: the corpus arrives in three
+    batches; each batch computes signatures for ITS rows only, finds
+    candidate pairs against the persisted signature index
+    (batch-vs-index + batch-vs-batch bucket join), then MERGEs its
+    signatures in (exactly-once via the table's batch-id ledger).
+    Output = union of per-batch pairs. Oracle = the SAME one-shot LSH
+    SQL as dedup_minhash_lsh, because incremental == full-recompute
+    EXACTLY for any batch split (pytest-pinned in
+    test_dedup_index.py)."""
+    from .dedup_index import MinHashIndex
+
+    docs = load(spark, sf_dir, "documents")
+    idx = MinHashIndex.create(
+        spark, tempfile.mkdtemp(prefix="datax_q_mhidx_"), n_bands=4, k=8, stride=4
+    )
+    parts = [
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=f"b{b}")
+        for b in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 @query(
@@ -1413,6 +1444,8 @@ SELECT doc_id,
        CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens_bpe
 FROM documents
 """,
+    demoted=True,  # r4: slot freed for text_entropy_bucket — trivial
+    # per-row arithmetic whose semantics also ride corpus_clean_pipeline
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -1566,6 +1599,51 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq.withColumn("_term", -p * F.log2(p))
         .groupBy("doc_id")
         .agg(F.round(F.sum("_term"), 4).alias("char_entropy_bits"))
+    )
+
+
+@query(
+    "text_entropy_bucket",
+    """
+WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+f AS (SELECT doc_id, ch, count(*) AS n FROM c GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(n) AS tot, count(*) AS n_distinct_chars FROM f GROUP BY doc_id),
+e AS (
+  SELECT f.doc_id,
+         -sum((n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE))) AS h,
+         any_value(n_distinct_chars) AS n_distinct_chars
+  FROM f JOIN tot ON f.doc_id = tot.doc_id
+  GROUP BY f.doc_id
+)
+SELECT doc_id,
+       CAST(floor(h * 8 + 0.000000001) AS BIGINT) AS entropy_octile,
+       n_distinct_chars
+FROM e
+""",
+)
+def text_entropy_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALED-INTEGER char-entropy bucket — the driver-attestable
+    (value-hash-exact) twin of text_char_entropy: entropy in eighths
+    of a bit, floor(H·8 + 1e-9) as an integer, plus the distinct-char
+    count. The 1e-9 epsilon is applied in BOTH engines so a value that
+    is mathematically ON a bucket boundary (uniform power-of-two char
+    distributions give exact H) cannot straddle it on a last-ulp libm
+    difference — any two computations within 1e-9 land in the same
+    bucket. This is the gate a curation pipeline actually consumes
+    (threshold bands, not raw floats): too-low octiles = degenerate
+    repetition, too-high = gibberish."""
+    docs = load(spark, sf_dir, "documents")
+    ch = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+    freq = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    return (
+        freq.withColumn("_term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.floor(F.sum("_term") * 8 + F.lit(1e-9)).cast("long").alias("entropy_octile"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
     )
 
 
@@ -1898,6 +1976,59 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", F.col("t").alias("term"),
                 F.round("score", 4).alias("tfidf"), "rank")
+    )
+
+
+@query(
+    "text_tfidf_rank",
+    """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM tok GROUP BY t),
+scored AS (
+  SELECT doc_id, t, tf, df,
+         round(tf * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)), 6)
+           AS score
+  FROM tf JOIN dfreq USING (t)
+),
+r AS (SELECT doc_id, t, tf, df,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+      FROM scored)
+SELECT doc_id, rank, t AS term, tf, df FROM r WHERE rank <= 3
+""",
+)
+def text_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK-ONLY TF-IDF top-3 terms per document — the driver-
+    attestable (value-hash-exact) twin of text_tfidf_top_terms: the
+    output carries only integers and strings (doc_id, rank, term, tf,
+    df), never the float score, so the libm-ln difference that demoted
+    the scored variant cannot reach the hash. The ORDERING still uses
+    the score, rounded to 6 dp in BOTH engines before comparison so a
+    mathematically-tied pair (tf₁·ln(N/df₁) == tf₂·ln(N/df₂), e.g.
+    df₂ = df₁²/N) collapses to an exact tie and falls through to the
+    deterministic term tie-break instead of flipping on a last-ulp
+    difference. Same plan shape as the scored variant: tf explode +
+    df aggregate-then-broadcast + per-doc top-k window."""
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(textops.tokens("text")).alias("t"))
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        docs.select("doc_id", F.explode(F.array_distinct(textops.tokens("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(df_t), on="t").select(
+        "doc_id", "t", "tf", "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", F.col("t").alias("term"), "tf", "df")
     )
 
 
@@ -2707,16 +2838,18 @@ _GATE_ORDER = [
     "dirty_quarantine", "skew_adaptive_join",
     # relational core
     "agg_pricing_summary", "join_broadcast_revenue",
-    "agg_brand_supplier_volume", "agg_rollup_revenue",
+    "agg_rollup_revenue",
     "union_by_name_epochs", "window_running_spend", "event_sessionize",
     "join_asof_click_attribution", "join_range_clicks_near_purchase",
     "pivot_user_activity", "join_left_outer_activity",
     "window_top_orders", "setop_except_intersect", "sort_limit_topk",
     "agg_value_percentiles",
-    # dedup + text analysis suites
+    # dedup + text analysis suites (r4: tfidf_rank/entropy_bucket are
+    # the integer-exact registered twins of the two libm-demoted gates)
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "token_top_terms", "lang_id_ngram",
-    "text_quality_score", "token_count_bpe", "text_normalize_pii",
+    "text_quality_score", "text_tfidf_rank", "text_entropy_bucket",
+    "text_normalize_pii",
     "doc_fingerprint", "text_word_bigrams", "corpus_clean_pipeline",
 ]
 

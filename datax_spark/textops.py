@@ -292,6 +292,53 @@ def minhash_signature(text_col: str | Column, n_hashes: int = 4, k: int = 8,
     return F.array(*sig)
 
 
+def minhash_band_minima(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    k: int = 8,
+    stride: int = 4,
+) -> DataFrame:
+    """Per-document MinHash band minima: (id, _b0.._b{n-1}), band i's
+    value = min over shingles of hex digits [16i, 16i+16) of
+    sha2(shingle). The signature stage shared by the one-shot pair
+    query (minhash_lsh_pairs) and the incremental index
+    (dedup_index.MinHashIndex) — identical signatures by construction
+    is what makes incremental == full-recompute provable.
+
+    Signature via explode + groupBy, NOT the array-HOF form
+    (minhash_signature): higher-order functions evaluate their lambda
+    interpreted per element, while the exploded form keeps sha256 and
+    substring inside whole-stage codegen — ~3× faster at corpus
+    scale. Semantics identical (same shingles, same per-band min)."""
+    starts = F.explode(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(F.col("_t")) - F.lit(k - 1), F.lit(1)),
+            F.lit(stride),
+        )
+    ).alias("_s")
+    hashed = (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .select(id_col, "_t", starts)
+        .select(id_col, F.sha2(F.expr(f"substring(_t, _s, {k})"), 256).alias("h"))
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.substring("h", i * 16 + 1, 16)).alias(f"_b{i}") for i in range(n_bands)]
+    )
+
+
+def band_buckets(per_doc: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
+    """(id, _b0.._b{n-1}) → exploded (id, band, bucket) rows — the LSH
+    join key frame."""
+    stack = ", ".join(f"{i}, _b{i}" for i in range(n_bands))
+    return per_doc.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack}) AS (band, bucket)"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -307,31 +354,10 @@ def minhash_lsh_pairs(
     ONE shuffle on (band, bucket) via self-join → distinct pairs.
     Bucket keys are 256-bit hashes → uniform, skew-free.
     """
-    # Signature via explode + groupBy, NOT the array-HOF form
-    # (minhash_signature): higher-order functions evaluate their lambda
-    # interpreted per element, while the exploded form keeps sha256 and
-    # substring inside whole-stage codegen — ~3× faster at corpus
-    # scale. Semantics identical (same shingles, same per-band min).
-    starts = F.explode(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.length(F.col("_t")) - F.lit(k - 1), F.lit(1)),
-            F.lit(stride),
-        )
-    ).alias("_s")
-    hashed = (
-        df.select(F.col(id_col), F.col(text_col).alias("_t"))
-        .select(id_col, "_t", starts)
-        .select(id_col, F.sha2(F.expr(f"substring(_t, _s, {k})"), 256).alias("h"))
+    per_doc = minhash_band_minima(
+        df, text_col=text_col, id_col=id_col, n_bands=n_bands, k=k, stride=stride
     )
-    per_doc = hashed.groupBy(id_col).agg(
-        *[F.min(F.substring("h", i * 16 + 1, 16)).alias(f"_b{i}") for i in range(n_bands)]
-    )
-    stack = ", ".join(f"{i}, _b{i}" for i in range(n_bands))
-    sig = per_doc.select(
-        F.col(id_col),
-        F.expr(f"stack({n_bands}, {stack}) AS (band, bucket)"),
-    )
+    sig = band_buckets(per_doc, id_col=id_col, n_bands=n_bands)
     # Pair enumeration via groupBy + in-bucket cross of the collected
     # id list, NOT a self-join: a self-join would recompute the whole
     # shingle+minhash pipeline for both sides. One shuffle on

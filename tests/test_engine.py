@@ -425,3 +425,90 @@ def test_stream_byte_rate_control(spark, wal_fixture, tmp_path):
     q.awaitTermination()
     assert len(t.committed_batch_ids()) == wal_fixture.n_segments
     pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+
+
+def test_quarantine_read_merges_schema_epochs(spark, tmp_path):
+    """Round-3 ADVICE: batches quarantined under DIFFERENT schema
+    epochs have different columns; without mergeSchema the combined
+    read takes one file's footer schema and silently nulls the other
+    epoch's columns — replay would then re-ingest rows with data lost.
+    quarantined() must surface the union of columns with values
+    intact."""
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import ErrorLimit
+
+    reg = EpochRegistry([
+        {"epoch": 0, "change": "base", "columns": {"content": "string"}},
+        {"epoch": 1, "change": "add:stars", "columns": {"content": "string",
+                                                        "stars": "long"}},
+    ])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), reg.schema_for(0),
+                             key_cols=["repo", "path"], num_buckets=4)
+    eng = CDCEngine(spark, t, reg, ok_condition=F.col("content") != "bad",
+                    error_limit=ErrorLimit(percentage=1.0))
+    # epoch-0 batch: no stars column
+    b0 = spark.createDataFrame(
+        [("r", "p0", "bad", 1, "U", 0)],
+        "repo string, path string, content string, lsn long, op string, schema_epoch int",
+    )
+    eng.apply_batch(b0, batch_id="e0")
+    # epoch-1 batch: carries stars — quarantined under the wider schema
+    b1 = spark.createDataFrame(
+        [("r", "p1", "bad", 2, "U", 1, 77)],
+        "repo string, path string, content string, lsn long, op string, "
+        "schema_epoch int, stars long",
+    )
+    eng.apply_batch(b1, batch_id="e1")
+    q = eng.quarantined()
+    assert "stars" in q.columns  # union of epochs, not one file's footer
+    rows = {r["path"]: r.asDict() for r in q.collect()}
+    assert rows["p1"]["stars"] == 77  # later-epoch data survived the read
+    assert rows["p0"]["stars"] is None
+
+
+def test_replay_id_fixed_length_and_lineage_audit(spark, tmp_path):
+    """Round-3 ADVICE: replay_id concatenated every source batch id —
+    unbounded growth, compounding across repeated replays, and a
+    255-byte dir-name blowup. It is now 'requeue-' + sha256(sources)
+    [:12]; the source batch ids remain auditable via lineage
+    (_source_file = 'quarantine:<source batch>')."""
+    from pyspark.sql import functions as F
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import ErrorLimit, TransformPipeline
+
+    reg = EpochRegistry([{"epoch": 0, "change": "base",
+                          "columns": {"content": "string"}}])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), reg.schema_for(0),
+                             key_cols=["repo", "path"], num_buckets=4)
+    strict = CDCEngine(spark, t, reg, ok_condition=F.col("content").isNotNull(),
+                       error_limit=ErrorLimit(percentage=1.0))
+    long_id = "b" * 120  # two of these would already burst 255 bytes if concatenated
+    for i, bid in enumerate([long_id, "other-batch"]):
+        strict.apply_batch(
+            spark.createDataFrame(
+                [("r", f"p{i}", None, i + 1, "U")],
+                "repo string, path string, content string, lsn long, op string",
+            ),
+            batch_id=bid,
+        )
+    fixed = CDCEngine(
+        spark, t, reg,
+        transform=TransformPipeline().with_column(
+            "content", F.coalesce(F.col("content"), F.lit(""))),
+        ok_condition=F.col("content").isNotNull(),
+    )
+    ci = fixed.replay_quarantine()
+    assert ci is not None and not ci.skipped
+    assert ci.batch_id.startswith("requeue-") and len(ci.batch_id) == len("requeue-") + 12
+    # determinism: same outstanding quarantine → same id → no-op replay
+    ci2 = fixed.replay_quarantine()
+    assert ci2.skipped and ci2.batch_id == ci.batch_id
+    # audit trail: lineage of the replay commit names each source batch
+    sources = {e["source"] for e in t.current()["lineage"]}
+    assert f"quarantine:{long_id}" in sources
+    assert "quarantine:other-batch" in sources

@@ -91,3 +91,59 @@ def test_merge_sql_custom_lsn_op_cols():
     assert got.count("s.`seq` > t.`_lsn`") == 2
     assert "s.`kind` = 'D'" in got
     assert "`_tombstone` = true" in got and "THEN DELETE" not in got
+
+
+def test_tombstone_migration_sql_golden():
+    """Pre-tombstone tables (created by the round-2 create_table_sql)
+    lack `_tombstone`; merge/snapshot must be able to upgrade them
+    with one metadata-only ALTER before first use (round-3 ADVICE)."""
+    from datax_spark.iceberg import tombstone_migration_sql
+
+    assert tombstone_migration_sql("cat.db.src") == (
+        "ALTER TABLE cat.db.src ADD COLUMN `_tombstone` boolean"
+    )
+
+
+def test_merge_and_snapshot_issue_migration_for_legacy_table():
+    """Duck-typed spark stub: a table whose schema lacks _tombstone
+    must receive the ALTER (and one that has it must not) — pins that
+    _ensure_tombstone_column is actually wired into both entry points
+    without needing the runtime jar."""
+    from datax_spark.iceberg import IcebergTable
+
+    class FakeSchema:
+        def __init__(self, names):
+            self.fields = [type("F", (), {"name": n})() for n in names]
+
+    class FakeDF:
+        def __init__(self, names):
+            self.schema = FakeSchema(names)
+
+    class FakeSpark:
+        def __init__(self, names):
+            self.names = names
+            self.issued = []
+
+        def table(self, ident):
+            return FakeDF(self.names)
+
+        def sql(self, stmt):
+            self.issued.append(stmt)
+            raise _Stop()
+
+    class _Stop(Exception):
+        pass
+
+    legacy = FakeSpark(["repo", "path", "content", "_lsn"])
+    t = IcebergTable(legacy, "cat.db.legacy", ["repo", "path"])
+    try:
+        t._ensure_tombstone_column()
+    except _Stop:
+        pass
+    assert legacy.issued == [
+        "ALTER TABLE cat.db.legacy ADD COLUMN `_tombstone` boolean"
+    ]
+
+    modern = FakeSpark(["repo", "path", "content", "_lsn", "_tombstone"])
+    IcebergTable(modern, "cat.db.modern", ["repo", "path"])._ensure_tombstone_column()
+    assert modern.issued == []

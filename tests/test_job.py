@@ -565,3 +565,49 @@ def test_jsonl_writer_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["text"] for r in got.collect()}
     b = {r["doc_id"]: r["text"] for r in orig.select("doc_id", "text").collect()}
     assert a == b
+
+
+def test_csv_reader_honors_configured_column_types(spark, tmp_path):
+    """Round-3 ADVICE: csv/text readers always inferred schema,
+    silently retyping values (leading-zero ids become ints, date-like
+    strings become timestamps) — diverging from the reference
+    hdfsreader's explicit column-type semantics. With a typed column
+    config, inference must be OFF and the declared types honored."""
+    csv_dir = str(tmp_path / "typed_csv")
+    with open(tmp_path / "typed_csv.csv", "w") as fh:
+        fh.write("id|qty|label\n007|3|2024-01-01\n042|9|plain\n")
+    import shutil
+    import os
+    os.makedirs(csv_dir)
+    shutil.move(str(tmp_path / "typed_csv.csv"), os.path.join(csv_dir, "part.csv"))
+
+    r = run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "hdfsreader",
+                       "parameter": {"path": csv_dir, "fileType": "csv",
+                                     "fieldDelimiter": "|", "skipHeader": True,
+                                     "column": [
+                                         {"index": 0, "type": "string"},
+                                         {"index": 1, "type": "long"},
+                                         {"index": 2, "type": "string"},
+                                     ]}},
+            "writer": {"name": "memwriter", "parameter": {"view": "typed_back"}},
+        }]}
+    })
+    back = spark.table("typed_back")
+    assert dict(back.dtypes) == {"id": "string", "qty": "bigint", "label": "string"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert set(rows) == {"007", "042"}          # leading zeros preserved
+    assert rows["007"]["qty"] == 3
+    assert rows["007"]["label"] == "2024-01-01"  # not retyped to timestamp
+
+    # untyped config keeps the old inference fallback
+    r2 = run_job(spark, {
+        "job": {"content": [{
+            "reader": {"name": "csvreader",
+                       "parameter": {"path": csv_dir, "fieldDelimiter": "|",
+                                     "skipHeader": True}},
+            "writer": {"name": "memwriter", "parameter": {"view": "inferred_back"}},
+        }]}
+    })
+    assert dict(spark.table("inferred_back").dtypes)["id"] == "int"
