@@ -36,7 +36,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # batches must be large enough that parallel work dominates it.
 AMPLIFY = int(os.environ.get("DATAX_BENCH_AMPLIFY", "256"))
 N_BATCHES = int(os.environ.get("DATAX_BENCH_BATCHES", "2"))
-TRIALS = int(os.environ.get("DATAX_BENCH_TRIALS", "3"))
+# 4 interleaved trials (r4, was 3): best-of over more trials discards
+# more contended windows — this shared VM showed a full contention ramp
+# inside one 3-trial run (pair efficiencies 0.72→0.60→0.51).
+TRIALS = int(os.environ.get("DATAX_BENCH_TRIALS", "4"))
 
 # Scale-safe subset of the registry (dedup_ngram_jaccard is excluded:
 # its token self-join is intentionally quadratic within blocks and
@@ -340,9 +343,9 @@ def run_skew_merge(sf_dir: str, amplify: int = 64) -> dict:
         "op", F.when(hot & (F.col("lsn") % 4 == 0), F.lit("D")).otherwise(F.col("op"))
     )
     loc = tempfile.mkdtemp(prefix="datax_bench_skew_", dir=BENCH_TMP)
+    cases = (("uniform", base), ("zipf", zipf), ("zipf_del", zipf_del))
     out: dict = {}
-    walls: dict[str, float] = {}
-    for name, df in (("uniform", base), ("zipf", zipf), ("zipf_del", zipf_del)):
+    for name, df in cases:
         w = os.path.join(loc, name)
         df.write.parquet(os.path.join(w, "seg=0"))
         seg = spark.read.parquet(os.path.join(w, "seg=0"))
@@ -355,7 +358,18 @@ def run_skew_merge(sf_dir: str, amplify: int = 64) -> dict:
             .collect()[0]["s"]
         )
         out[f"input_max_bucket_share_{name}"] = round(float(share), 3)
-        walls[name] = apply_wal(spark, w, 1)
+    # Interleaved best-of-2: the cases used to run back-to-back in a
+    # fixed order, so a contention ramp mid-sequence inflated whichever
+    # case ran later (r4 observed zipf 1.37× in a window whose merge
+    # pairs degraded 0.72→0.51 across trials, while the supposedly
+    # costlier delete-heavy case read LOWER at 1.25×). Same protocol as
+    # the merge ladder: alternate cases, keep each case's best.
+    walls: dict[str, float] = {}
+    for _ in range(2):
+        for name, _df in cases:
+            wall = apply_wal(spark, os.path.join(loc, name), 1)
+            walls[name] = min(walls.get(name, wall), wall)
+    for name, _df in cases:
         out[f"wall_sec_{name}"] = round(walls[name], 2)
     out["zipf_over_uniform"] = round(walls["zipf"] / walls["uniform"], 3)
     out["zipf_delete_over_uniform"] = round(walls["zipf_del"] / walls["uniform"], 3)

@@ -179,3 +179,299 @@ def _parse_simple(name: str) -> T.DataType:
     return {
         "long": T.LongType(), "int": T.IntegerType(), "string": T.StringType(),
     }[name]
+
+
+def run_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    checkpoint_dir: str,
+    index: "MinHashIndex",
+    clusters: ClusterTable | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: T.StructType | str | None = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """The streaming front-end of the incremental dedup pipeline —
+    the same Structured-Streaming shape as CDCEngine.run_stream, but
+    the sink is the signature index (+ optionally the cluster table)
+    instead of the CDC snapshot: documents land as parquet files in
+    `docs_dir`; each micro-batch computes its own signatures, emits
+    pairs against the persisted index, folds them into cluster
+    assignments, and MERGEs its signatures in.
+
+    Exactly-once rides the SAME mechanism as the CDC engine: the
+    streaming checkpoint replays a micro-batch at-least-once; the
+    batch-id ledger in each SnapshotTable makes the replay a no-op
+    (the index merge skips, the cluster fold skips). Restarting with
+    the same checkpoint resumes exactly where it left off — killing
+    the query mid-corpus and re-running converges to the identical
+    cluster table a one-shot run produces (test_dedup_index)."""
+    if schema is None:
+        schema = f"{id_col} long, {text_col} string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(docs_dir)
+    )
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        batch_id = f"stream-{epoch_id}"
+        pairs = index.add_batch(
+            df, batch_id=batch_id, text_col=text_col, id_col=id_col
+        )
+        if clusters is not None:
+            clusters.add_pairs(pairs, batch_id=batch_id)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class ClusterTable:
+    """Incrementally maintained dedup CLUSTER assignments — the
+    downstream half of the incremental index: each batch's new
+    candidate pairs (MinHashIndex / EmbeddingLSHIndex .add_batch
+    output) fold into a persisted (doc_id, cluster_id) table without
+    re-clustering the corpus.
+
+    Incremental rule: a new edge can only change the components it
+    touches, so re-clustering runs on the TOUCHED SUBGRAPH only —
+    the new edges plus one (member → current cluster_id) edge per
+    member of every touched cluster (cluster_id is itself a member
+    node id, the component min, so these edges reproduce the old
+    components exactly). connected_components over that subgraph
+    yields the updated labels, which MERGE in (LWW). Cost per batch:
+    O(new edges + members of touched clusters) — at a steady dup
+    rate that is a tiny fraction of the corpus, vs the full-graph
+    O(E) re-run the one-shot `dedup_clusters` pays.
+
+    Equivalence invariant (pytest-pinned): folding any batch split of
+    an edge set equals connected_components over the full edge set."""
+
+    def __init__(self, table: SnapshotTable):
+        self.table = table
+
+    @classmethod
+    def create(
+        cls, spark: SparkSession, location: str, id_type: str = "long",
+        num_buckets: int = 32,
+    ) -> "ClusterTable":
+        schema = T.StructType([
+            T.StructField("doc_id", _parse_simple(id_type), False),
+            T.StructField("cluster_id", _parse_simple(id_type), True),
+        ])
+        table = SnapshotTable.create(
+            spark, location, schema, key_cols=["doc_id"], num_buckets=num_buckets
+        )
+        return cls(table)
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "ClusterTable":
+        return cls(SnapshotTable.load(spark, location))
+
+    def assignments(self) -> DataFrame:
+        """Current (doc_id, cluster_id); cluster_id = min member id,
+        so `WHERE doc_id = cluster_id` selects representatives."""
+        return self.table.snapshot()
+
+    def add_pairs(self, pairs: DataFrame, batch_id: str | None = None) -> None:
+        """Fold a batch of candidate pairs (id_a, id_b) in. New edges
+        may merge previously separate clusters — every member of a
+        touched cluster is pulled into the subgraph so merged
+        components relabel consistently (all members get the new
+        global min)."""
+        from .graph import connected_components
+
+        if batch_id is not None and batch_id in self.table.committed_batch_ids():
+            return
+        edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+        labels = self.assignments()
+        touched = (
+            edges.select(F.col("id_a").alias("doc_id"))
+            .unionByName(edges.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        touched_clusters = (
+            labels.join(touched, on="doc_id", how="left_semi")
+            .select("cluster_id").distinct()
+        )
+        members = labels.join(
+            touched_clusters, on="cluster_id", how="left_semi"
+        )
+        sub_edges = edges.unionByName(
+            members.select(
+                F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+            )
+        )
+        new_labels = connected_components(sub_edges).localCheckpoint(eager=True)
+        lsn = self.table.current()["version"] + 1
+        self.table.merge(
+            new_labels.withColumn("lsn", F.lit(lsn).cast("long"))
+            .withColumn("op", F.lit("U")),
+            batch_id=batch_id,
+        )
+
+
+class EmbeddingLSHIndex:
+    """The embedding-side twin of MinHashIndex: a persisted banded
+    sign-LSH index over vectors (simsearch.lsh_cosine_dedup_pairs is
+    its one-shot form). Each batch computes band buckets + norms for
+    ITS vectors only, finds candidate pairs against the stored index
+    (same (band, bucket) collision rule), scores exact cosine on
+    candidates, and MERGEs its rows in.
+
+    The stored row carries the vector and its precomputed norm, so
+    scoring a batch-vs-index candidate re-reads the index vector but
+    never recomputes its norm or buckets — at 10^10 vectors those two
+    map-side passes are the dominant per-batch cost the index
+    amortizes away.
+
+    Plane parameters are pinned at create() (sha256-derived planes →
+    deterministic, oracle-reproducible): unlike the one-shot query,
+    an incremental index cannot auto-resize planes as N grows without
+    re-bucketing the corpus — pick planes for the TARGET corpus size
+    up front (size_lsh_planes(expected_N)); that is the real
+    operational contract of every production ANN index."""
+
+    def __init__(self, table: SnapshotTable, n_bands: int, planes_per_band: int,
+                 n_dims: int):
+        self.table = table
+        self.n_bands = n_bands
+        self.planes_per_band = planes_per_band
+        self.n_dims = n_dims
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        location: str,
+        n_bands: int = 4,
+        planes_per_band: int = 4,
+        n_dims: int = 64,
+        num_buckets: int = 32,
+    ) -> "EmbeddingLSHIndex":
+        fields = [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("emb", T.ArrayType(T.DoubleType()), True),
+            T.StructField("norm", T.DoubleType(), True),
+        ] + [T.StructField(f"_b{i}", T.LongType(), True) for i in range(n_bands)]
+        table = SnapshotTable.create(
+            spark, location, T.StructType(fields),
+            key_cols=["vec_id"], num_buckets=num_buckets,
+        )
+        table.evolve_schema(
+            T.StructType(fields),
+            change=(
+                f"emblsh_params:n_bands={n_bands},"
+                f"planes_per_band={planes_per_band},n_dims={n_dims}"
+            ),
+        )
+        return cls(table, n_bands, planes_per_band, n_dims)
+
+    @classmethod
+    def load(cls, spark: SparkSession, location: str) -> "EmbeddingLSHIndex":
+        table = SnapshotTable.load(spark, location)
+        params = {}
+        for rec in table.history():
+            change = str(rec.get("metrics", {}).get("schema_change", ""))
+            if change.startswith("emblsh_params:"):
+                params = dict(
+                    kv.split("=") for kv in change.split(":", 1)[1].split(",")
+                )
+        if not params:
+            raise ValueError(f"{location} is not an EmbeddingLSHIndex table")
+        return cls(table, int(params["n_bands"]), int(params["planes_per_band"]),
+                   int(params["n_dims"]))
+
+    def doc_count(self) -> int:
+        return self.table.snapshot().count()
+
+    def _sig_frame(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        from .simsearch import as_double, l2_norm, lsh_band_bucket
+
+        return df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double(vec_col).alias("emb"),
+            l2_norm(as_double(vec_col)).alias("norm"),
+            *[
+                lsh_band_bucket(vec_col, b, self.planes_per_band, self.n_dims)
+                .alias(f"_b{b}")
+                for b in range(self.n_bands)
+            ],
+        )
+
+    def add_batch(
+        self,
+        vectors: DataFrame,
+        batch_id: str | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.4,
+    ) -> DataFrame:
+        """Returns the new scored pairs (id_a < id_b, cosine ≥
+        threshold) this batch completes, then merges the batch's
+        rows into the index (exactly-once per batch_id)."""
+        from .simsearch import _pair_cosine, dot
+
+        sigs = self._sig_frame(vectors, id_col, vec_col)
+        index = self.table.snapshot()
+        # LWW view for scoring: a re-ingested vec_id uses the BATCH
+        # vector (the merge will persist it); index rows for ids in
+        # the batch are superseded.
+        combined = sigs.unionByName(index.join(sigs, on="vec_id", how="left_anti"))
+
+        def buckets(frame: DataFrame) -> DataFrame:
+            stack = ", ".join(f"{i}, _b{i}" for i in range(self.n_bands))
+            return frame.select(
+                "vec_id", F.expr(f"stack({self.n_bands}, {stack}) AS (band, bucket)")
+            )
+
+        a, b = buckets(sigs).alias("a"), buckets(combined).alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.vec_id") != F.col("b.vec_id")),
+            )
+            .select(
+                F.least(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_a"),
+                F.greatest(F.col("a.vec_id"), F.col("b.vec_id")).alias("id_b"),
+            )
+            .distinct()
+        )
+        vecs = combined.select("vec_id", "emb", "norm")
+        pairs = (
+            cand.join(
+                vecs.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"),
+                            F.col("norm").alias("na")),
+                on="id_a",
+            )
+            .join(
+                vecs.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"),
+                            F.col("norm").alias("nb")),
+                on="id_b",
+            )
+            .withColumn(
+                "cosine",
+                F.round(
+                    _pair_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")),
+                    4,
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+            .localCheckpoint(eager=True)
+        )
+        lsn = self.table.current()["version"] + 1
+        self.table.merge(
+            sigs.withColumn("lsn", F.lit(lsn).cast("long")).withColumn("op", F.lit("U")),
+            batch_id=batch_id,
+        )
+        return pairs

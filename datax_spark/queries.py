@@ -1357,6 +1357,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_incremental",
+    None,  # oracle attached below — shares dedup_clusters' SQL verbatim
+    demoted=True,
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL cluster pipeline end-to-end: three document
+    batches flow through MinHashIndex.add_batch (per-batch signatures,
+    batch-vs-index pairs) into ClusterTable.add_pairs (touched-subgraph
+    re-clustering only — new edges + one member→cluster_id edge per
+    member of each touched cluster). Final assignments == one-shot
+    connected components over the full corpus's pairs, so the oracle
+    is dedup_clusters' recursive-CTE transitive closure verbatim."""
+    from .dedup_index import ClusterTable, MinHashIndex
+
+    docs = load(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="datax_q_clidx_")
+    idx = MinHashIndex.create(
+        spark, os.path.join(work, "mh"), n_bands=4, k=8, stride=4
+    )
+    ct = ClusterTable.create(spark, os.path.join(work, "cl"))
+    for b in range(3):
+        pairs = idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=f"b{b}")
+        ct.add_pairs(pairs, batch_id=f"b{b}")
+    return ct.assignments()
+
+
+DEMOTED_ORACLES["dedup_clusters_incremental"] = DEMOTED_ORACLES["dedup_clusters"]
+
+
+@query(
     "dedup_simhash",
     f"""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
@@ -2317,6 +2347,39 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.lsh_cosine_dedup_pairs(
         emb, threshold=0.4, n_bands=4, planes_per_band=None, target_bucket_rows=64
     )
+
+
+# the incremental twin shares the one-shot query's oracle verbatim:
+# incremental == full recompute exactly (test_dedup_index.py)
+_EMB_LSH_SQL = ORACLES["dedup_embedding_cosine_lsh"]
+
+
+@query("dedup_embedding_incremental", _EMB_LSH_SQL, demoted=True)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL embedding near-dup maintenance
+    (dedup_index.EmbeddingLSHIndex): vectors arrive in three batches;
+    each batch computes sign-LSH band buckets + norms for ITS rows
+    only, scores exact cosine on batch-vs-index + batch-vs-batch
+    candidates, and MERGEs its rows into the persisted index
+    (exactly-once via the batch-id ledger). Output = union of
+    per-batch scored pairs; oracle = the one-shot banded-LSH SQL,
+    because incremental == full recompute exactly at the same pinned
+    plane parameters (pytest-pinned)."""
+    from .dedup_index import EmbeddingLSHIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    idx = EmbeddingLSHIndex.create(
+        spark, tempfile.mkdtemp(prefix="datax_q_eidx_"), n_bands=4, planes_per_band=4
+    )
+    parts = [
+        idx.add_batch(emb.filter(F.col("vec_id") % 3 == b), batch_id=f"b{b}",
+                      threshold=0.4)
+        for b in range(3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
 
 
 @query(

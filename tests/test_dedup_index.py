@@ -113,3 +113,146 @@ def test_load_restores_parameters(spark, docs, tmp_path):
             key_cols=["doc_id"],
         )
         MinHashIndex.load(spark, plain)
+
+
+# ---------------------------------------------------- EmbeddingLSHIndex
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def _scored_set(df):
+    return {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+
+
+def test_embedding_incremental_equals_full(spark, emb, tmp_path):
+    """Union of per-batch scored pairs == one-shot
+    lsh_cosine_dedup_pairs at the same pinned plane parameters."""
+    from datax_spark.dedup_index import EmbeddingLSHIndex
+    from datax_spark.simsearch import lsh_cosine_dedup_pairs
+
+    full = _scored_set(
+        lsh_cosine_dedup_pairs(emb, threshold=0.4, n_bands=4, planes_per_band=4)
+    )
+    idx = EmbeddingLSHIndex.create(
+        spark, str(tmp_path / "eidx"), n_bands=4, planes_per_band=4
+    )
+    got = set()
+    for b in range(3):
+        batch = emb.filter(F.col("vec_id") % 3 == b)
+        got |= _scored_set(idx.add_batch(batch, batch_id=f"b{b}", threshold=0.4))
+    assert got == full
+    assert idx.doc_count() == emb.count()
+
+
+def test_embedding_index_exactly_once_and_load(spark, emb, tmp_path):
+    from datax_spark.dedup_index import EmbeddingLSHIndex
+
+    loc = str(tmp_path / "eidx2")
+    idx = EmbeddingLSHIndex.create(spark, loc, n_bands=3, planes_per_band=5)
+    batch = emb.limit(40)
+    idx.add_batch(batch, batch_id="b0")
+    v = idx.table.current()["version"]
+    idx.add_batch(batch, batch_id="b0")  # replay → ledger no-op
+    assert idx.table.current()["version"] == v
+    re = EmbeddingLSHIndex.load(spark, loc)
+    assert (re.n_bands, re.planes_per_band, re.n_dims) == (3, 5, 64)
+
+
+# --------------------------------------------------------- ClusterTable
+
+
+def _assign(ct):
+    return {r["doc_id"]: r["cluster_id"] for r in ct.assignments().collect()}
+
+
+def test_cluster_table_merges_components_across_batches(spark, tmp_path):
+    """A later edge joining two existing clusters must relabel EVERY
+    member of both to the new global min."""
+    from datax_spark.dedup_index import ClusterTable
+
+    ct = ClusterTable.create(spark, str(tmp_path / "ct"))
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    ct.add_pairs(mk([(1, 2), (2, 5)]), batch_id="b0")
+    ct.add_pairs(mk([(3, 4)]), batch_id="b1")
+    assert _assign(ct) == {1: 1, 2: 1, 5: 1, 3: 3, 4: 3}
+    ct.add_pairs(mk([(5, 4)]), batch_id="b2")  # bridges the two clusters
+    assert _assign(ct) == {1: 1, 2: 1, 5: 1, 3: 1, 4: 1}
+    # exactly-once: replaying the bridge batch is a no-op
+    v = ct.table.current()["version"]
+    ct.add_pairs(mk([(5, 4)]), batch_id="b2")
+    assert ct.table.current()["version"] == v
+
+
+def test_cluster_table_equals_full_clustering(spark, docs, tmp_path):
+    """End-to-end incremental pipeline: MinHashIndex batches feed
+    ClusterTable folds; the final assignment equals one-shot
+    connected_components over the full corpus's pairs."""
+    from datax_spark.dedup_index import ClusterTable, MinHashIndex
+    from datax_spark.graph import connected_components
+
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4)
+        ).collect()
+    }
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_bands=4, k=8, stride=4)
+    ct = ClusterTable.create(spark, str(tmp_path / "cl"))
+    for b in range(3):
+        pairs = idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), batch_id=f"b{b}")
+        ct.add_pairs(pairs, batch_id=f"b{b}")
+    assert _assign(ct) == expected
+
+
+# -------------------------------------------------------- streaming drive
+
+
+def test_streaming_dedup_pipeline_with_restart(spark, docs, tmp_path):
+    """Streaming front-end: documents land as files, each micro-batch
+    feeds index + cluster table. Kill after the first batches, restart
+    from the checkpoint — no double-pairs, no missed docs; the final
+    cluster table equals the one-shot clustering."""
+    import os
+    import time
+
+    from datax_spark.dedup_index import ClusterTable, MinHashIndex, run_dedup_stream
+    from datax_spark.graph import connected_components
+
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4)
+        ).collect()
+    }
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    idx = MinHashIndex.create(spark, str(tmp_path / "smh"), n_bands=4, k=8, stride=4)
+    ct = ClusterTable.create(spark, str(tmp_path / "scl"))
+    ckpt = str(tmp_path / "sckpt")
+
+    # first run: availableNow drain, killed after 2 micro-batches
+    q = run_dedup_stream(spark, src, ckpt, idx, ct, max_files_per_trigger=1)
+    while q.isActive:
+        if len(idx.table.committed_batch_ids()) >= 2:
+            q.stop()
+            break
+        time.sleep(0.05)
+    q.awaitTermination()
+    assert len(idx.table.committed_batch_ids()) < 4  # genuinely interrupted
+
+    # restart with the same checkpoint: resumes, applies only the rest
+    q2 = run_dedup_stream(spark, src, ckpt, idx, ct, max_files_per_trigger=1)
+    q2.awaitTermination()
+    got = {r["doc_id"]: r["cluster_id"] for r in ct.assignments().collect()}
+    assert got == expected
+    assert idx.doc_count() == docs.count()
+    # third run: nothing new → no additional commits
+    v_idx, v_ct = idx.table.current()["version"], ct.table.current()["version"]
+    q3 = run_dedup_stream(spark, src, ckpt, idx, ct, max_files_per_trigger=1)
+    q3.awaitTermination()
+    assert idx.table.current()["version"] == v_idx
+    assert ct.table.current()["version"] == v_ct
