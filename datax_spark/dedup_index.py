@@ -181,17 +181,24 @@ def _parse_simple(name: str) -> T.DataType:
     }[name]
 
 
+def _edges_location(location: str) -> str:
+    import os
+
+    return os.path.join(location.rstrip("/"), "edges")
+
+
 def run_dedup_stream(
     spark: SparkSession,
     docs_dir: str,
     checkpoint_dir: str,
-    index: "MinHashIndex",
+    index: "MinHashIndex | EmbeddingLSHIndex",
     clusters: ClusterTable | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     schema: T.StructType | str | None = None,
     max_files_per_trigger: int = 1,
     available_now: bool = True,
+    threshold: float = 0.4,
 ):
     """The streaming front-end of the incremental dedup pipeline —
     the same Structured-Streaming shape as CDCEngine.run_stream, but
@@ -207,9 +214,16 @@ def run_dedup_stream(
     (the index merge skips, the cluster fold skips). Restarting with
     the same checkpoint resumes exactly where it left off — killing
     the query mid-corpus and re-running converges to the identical
-    cluster table a one-shot run produces (test_dedup_index)."""
+    cluster table a one-shot run produces (test_dedup_index).
+
+    Works for both index kinds: a MinHashIndex consumes
+    (id_col, text_col) rows; an EmbeddingLSHIndex consumes
+    (id_col, text_col=<vector column>) rows, scoring candidate pairs
+    at `threshold`."""
+    embedding = isinstance(index, EmbeddingLSHIndex)
     if schema is None:
-        schema = f"{id_col} long, {text_col} string"
+        content = "array<double>" if embedding else "string"
+        schema = f"{id_col} long, {text_col} {content}"
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -219,9 +233,15 @@ def run_dedup_stream(
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         batch_id = f"stream-{epoch_id}"
-        pairs = index.add_batch(
-            df, batch_id=batch_id, text_col=text_col, id_col=id_col
-        )
+        if embedding:
+            pairs = index.add_batch(
+                df, batch_id=batch_id, id_col=id_col, vec_col=text_col,
+                threshold=threshold,
+            )
+        else:
+            pairs = index.add_batch(
+                df, batch_id=batch_id, text_col=text_col, id_col=id_col
+            )
         if clusters is not None:
             clusters.add_pairs(pairs, batch_id=batch_id)
 
@@ -252,15 +272,25 @@ class ClusterTable:
     O(E) re-run the one-shot `dedup_clusters` pays.
 
     Equivalence invariant (pytest-pinned): folding any batch split of
-    an edge set equals connected_components over the full edge set."""
+    an edge set equals connected_components over the full edge set.
 
-    def __init__(self, table: SnapshotTable):
+    With track_edges=True the real pair edges ALSO persist (a child
+    SnapshotTable at <location>/edges, keyed (id_a, id_b)) — the extra
+    state that makes document REMOVAL incremental: deleting a node can
+    SPLIT a component (the inverse of an edge merge), which is only
+    decidable from the surviving edge set. remove_docs re-clusters the
+    touched components from their surviving edges; everything else in
+    the table is untouched. Without edge tracking, removal would need
+    the upstream pair generator to replay the whole corpus."""
+
+    def __init__(self, table: SnapshotTable, edges: SnapshotTable | None = None):
         self.table = table
+        self.edges = edges
 
     @classmethod
     def create(
         cls, spark: SparkSession, location: str, id_type: str = "long",
-        num_buckets: int = 32,
+        num_buckets: int = 32, track_edges: bool = False,
     ) -> "ClusterTable":
         schema = T.StructType([
             T.StructField("doc_id", _parse_simple(id_type), False),
@@ -269,11 +299,30 @@ class ClusterTable:
         table = SnapshotTable.create(
             spark, location, schema, key_cols=["doc_id"], num_buckets=num_buckets
         )
-        return cls(table)
+        edges = None
+        if track_edges:
+            # Child location: the parent only ever scans its own
+            # _commits/ and data/ dirs, so edges/ is invisible to
+            # vacuum/manifest reads.
+            edges = SnapshotTable.create(
+                spark, _edges_location(location),
+                T.StructType([
+                    T.StructField("id_a", _parse_simple(id_type), False),
+                    T.StructField("id_b", _parse_simple(id_type), False),
+                ]),
+                key_cols=["id_a", "id_b"], num_buckets=num_buckets,
+            )
+        return cls(table, edges)
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "ClusterTable":
-        return cls(SnapshotTable.load(spark, location))
+        import os
+
+        eloc = _edges_location(location)
+        edges = None
+        if os.path.isdir(os.path.join(eloc, "_commits")):
+            edges = SnapshotTable.load(spark, eloc)
+        return cls(SnapshotTable.load(spark, location), edges)
 
     def assignments(self) -> DataFrame:
         """Current (doc_id, cluster_id); cluster_id = min member id,
@@ -291,6 +340,17 @@ class ClusterTable:
         if batch_id is not None and batch_id in self.table.committed_batch_ids():
             return
         edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+        if self.edges is not None:
+            # Edge log commits FIRST: the exactly-once guard above keys
+            # on the ASSIGNMENTS ledger, so a crash between the two
+            # merges replays into an edge-ledger no-op + the missing
+            # assignments merge.
+            elsn = self.edges.current()["version"] + 1
+            self.edges.merge(
+                edges.withColumn("lsn", F.lit(elsn).cast("long"))
+                .withColumn("op", F.lit("U")),
+                batch_id=batch_id,
+            )
         labels = self.assignments()
         touched = (
             edges.select(F.col("id_a").alias("doc_id"))
@@ -314,6 +374,87 @@ class ClusterTable:
         self.table.merge(
             new_labels.withColumn("lsn", F.lit(lsn).cast("long"))
             .withColumn("op", F.lit("U")),
+            batch_id=batch_id,
+        )
+
+    def remove_docs(self, ids: DataFrame, batch_id: str | None = None) -> None:
+        """Retire documents from the cluster table (the counterpart of
+        MinHashIndex.remove_docs). Removal can SPLIT a component — a
+        bridge doc's clusters fall apart — so the touched clusters are
+        re-clustered from their SURVIVING persisted edges only:
+        connected_components over O(touched-cluster edges), never the
+        corpus. Survivors left with no edge become singletons
+        (cluster_id = doc_id); removed docs' assignment rows and edges
+        are tombstoned. Exactly-once per batch_id, same ledger rule as
+        add_pairs."""
+        from .graph import connected_components
+
+        if self.edges is None:
+            raise ValueError(
+                "remove_docs needs track_edges=True at create(): splitting "
+                "a cluster is only decidable from the surviving edge set"
+            )
+        if batch_id is not None and batch_id in self.table.committed_batch_ids():
+            return
+        ids = ids.select("doc_id").distinct().localCheckpoint(eager=True)
+        labels = self.assignments()
+        touched_clusters = (
+            labels.join(ids, on="doc_id", how="left_semi")
+            .select("cluster_id").distinct()
+        )
+        members = labels.join(touched_clusters, on="cluster_id", how="left_semi")
+        survivors = (
+            members.join(ids, on="doc_id", how="left_anti")
+            .select("doc_id").localCheckpoint(eager=True)
+        )
+        all_edges = self.edges.snapshot()
+        # Persisted edges are intra-cluster by construction (an edge
+        # merges its endpoints' clusters), so membership of id_a alone
+        # selects a touched cluster's whole edge set.
+        surviving_edges = (
+            all_edges.join(
+                members.select(F.col("doc_id").alias("id_a")),
+                on="id_a", how="left_semi",
+            )
+            .join(ids.select(F.col("doc_id").alias("id_a")), on="id_a", how="left_anti")
+            .join(ids.select(F.col("doc_id").alias("id_b")), on="id_b", how="left_anti")
+        )
+        relabeled = connected_components(surviving_edges).localCheckpoint(eager=True)
+        singletons = (
+            survivors.join(relabeled, on="doc_id", how="left_anti")
+            .withColumn("cluster_id", F.col("doc_id"))
+        )
+        id_type = self.table.schema["cluster_id"].dataType
+        assign_batch = (
+            relabeled.unionByName(singletons)
+            .withColumn("op", F.lit("U"))
+            .unionByName(
+                ids.withColumn("cluster_id", F.lit(None).cast(id_type))
+                .withColumn("op", F.lit("D"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        dead_edges = (
+            all_edges.select("id_a", "id_b")
+            .join(ids.select(F.col("doc_id").alias("id_a")), on="id_a", how="left_semi")
+            .unionByName(
+                all_edges.select("id_a", "id_b").join(
+                    ids.select(F.col("doc_id").alias("id_b")),
+                    on="id_b", how="left_semi",
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        elsn = self.edges.current()["version"] + 1
+        self.edges.merge(
+            dead_edges.withColumn("lsn", F.lit(elsn).cast("long"))
+            .withColumn("op", F.lit("D")),
+            batch_id=batch_id,
+        )
+        lsn = self.table.current()["version"] + 1
+        self.table.merge(
+            assign_batch.withColumn("lsn", F.lit(lsn).cast("long")),
             batch_id=batch_id,
         )
 
@@ -391,6 +532,18 @@ class EmbeddingLSHIndex:
 
     def doc_count(self) -> int:
         return self.table.snapshot().count()
+
+    def remove_docs(self, ids: DataFrame, batch_id: str | None = None) -> None:
+        """Retire vectors (same contract as MinHashIndex.remove_docs):
+        tombstones their index rows so future batches stop matching
+        against them."""
+        lsn = self.table.current()["version"] + 1
+        batch = (
+            ids.select(F.col(ids.columns[0]).cast("long").alias("vec_id"))
+            .withColumn("lsn", F.lit(lsn).cast("long"))
+            .withColumn("op", F.lit("D"))
+        )
+        self.table.merge(batch, batch_id=batch_id)
 
     def _sig_frame(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         from .simsearch import as_double, l2_norm, lsh_band_bucket

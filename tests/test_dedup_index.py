@@ -256,3 +256,143 @@ def test_streaming_dedup_pipeline_with_restart(spark, docs, tmp_path):
     q3.awaitTermination()
     assert idx.table.current()["version"] == v_idx
     assert ct.table.current()["version"] == v_ct
+
+
+# ------------------------------------------------------- doc removal
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+
+def test_cluster_remove_splits_and_relabels(spark, tmp_path):
+    """Removing a bridge doc splits its cluster; removing the minimum
+    member relabels survivors to the new min; replays are no-ops."""
+    from datax_spark.dedup_index import ClusterTable
+
+    ct = ClusterTable.create(spark, str(tmp_path / "ct"), track_edges=True)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    ct.add_pairs(mk([(1, 2), (2, 3), (5, 6)]), batch_id="b0")
+    assert _assign(ct) == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    ct.remove_docs(_ids(spark, [2]), batch_id="r0")  # bridge → split
+    assert _assign(ct) == {1: 1, 3: 3, 5: 5, 6: 5}
+    v_t, v_e = ct.table.current()["version"], ct.edges.current()["version"]
+    ct.remove_docs(_ids(spark, [2]), batch_id="r0")  # replay → no-op
+    assert ct.table.current()["version"] == v_t
+    assert ct.edges.current()["version"] == v_e
+
+    ct.remove_docs(_ids(spark, [5]), batch_id="r1")  # min member → relabel
+    assert _assign(ct) == {1: 1, 3: 3, 6: 6}
+
+
+def test_cluster_remove_keeps_cycle_connected(spark, tmp_path):
+    """A removal inside a cycle must NOT split the component — the
+    surviving edges still connect it."""
+    from datax_spark.dedup_index import ClusterTable
+
+    ct = ClusterTable.create(spark, str(tmp_path / "ct"), track_edges=True)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    ct.add_pairs(mk([(1, 2), (2, 3), (3, 4), (1, 4)]), batch_id="b0")
+    ct.remove_docs(_ids(spark, [2]), batch_id="r0")
+    assert _assign(ct) == {1: 1, 3: 1, 4: 1}
+
+
+def test_cluster_remove_requires_edge_tracking(spark, tmp_path):
+    from datax_spark.dedup_index import ClusterTable
+
+    ct = ClusterTable.create(spark, str(tmp_path / "ct_plain"))
+    with pytest.raises(ValueError, match="track_edges"):
+        ct.remove_docs(_ids(spark, [1]))
+
+
+def test_cluster_remove_equals_one_shot(spark, docs, tmp_path):
+    """Pipeline equivalence under removal: incremental add + remove
+    equals one-shot clustering of the surviving pair set; survivors
+    stranded without edges stay as explicit singletons."""
+    from datax_spark.dedup_index import ClusterTable, MinHashIndex
+    from datax_spark.graph import connected_components
+
+    idx = MinHashIndex.create(spark, str(tmp_path / "mh"), n_bands=4, k=8, stride=4)
+    ct = ClusterTable.create(spark, str(tmp_path / "cl"), track_edges=True)
+    for b in range(2):
+        pairs = idx.add_batch(docs.filter(F.col("doc_id") % 2 == b), batch_id=f"b{b}")
+        ct.add_pairs(pairs, batch_id=f"b{b}")
+
+    clustered = sorted({r["doc_id"] for r in ct.assignments().collect()})
+    removed = set(clustered[::5])  # every 5th clustered doc
+    idx.remove_docs(_ids(spark, sorted(removed)), batch_id="rm")
+    ct.remove_docs(_ids(spark, sorted(removed)), batch_id="rm")
+
+    full = minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4)
+    surviving = full.filter(
+        ~F.col("id_a").isin(removed) & ~F.col("id_b").isin(removed)
+    )
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(surviving).collect()
+    }
+    got = _assign(ct)
+    assert removed.isdisjoint(got)
+    assert {k: v for k, v in got.items() if k in expected} == expected
+    # every extra row is a stranded survivor, self-labeled
+    extras = {k: v for k, v in got.items() if k not in expected}
+    assert all(k == v for k, v in extras.items())
+    assert set(extras).issubset(set(clustered) - removed)
+    # future batches no longer match removed docs' signatures
+    assert idx.signatures().filter(F.col("doc_id").isin(removed)).count() == 0
+
+
+def test_cluster_load_restores_edge_table(spark, tmp_path):
+    from datax_spark.dedup_index import ClusterTable
+
+    loc = str(tmp_path / "ct")
+    ct = ClusterTable.create(spark, loc, track_edges=True)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    ct.add_pairs(mk([(1, 2)]), batch_id="b0")
+    re = ClusterTable.load(spark, loc)
+    assert re.edges is not None
+    re.remove_docs(_ids(spark, [1]), batch_id="r0")
+    assert _assign(re) == {2: 2}
+
+    plain = str(tmp_path / "ct_plain")
+    ClusterTable.create(spark, plain)
+    assert ClusterTable.load(spark, plain).edges is None
+
+
+def test_streaming_embedding_dedup(spark, emb, tmp_path):
+    """run_dedup_stream drives the EmbeddingLSHIndex too: per-file
+    micro-batches, union of scored pairs == one-shot LSH pairs."""
+    from datax_spark.dedup_index import ClusterTable, EmbeddingLSHIndex, run_dedup_stream
+    from datax_spark.simsearch import lsh_cosine_dedup_pairs
+
+    sample = emb.limit(300)
+    full = _scored_set(
+        lsh_cosine_dedup_pairs(sample, threshold=0.4, n_bands=4, planes_per_band=4)
+    )
+    src = str(tmp_path / "emb_src")
+    sample.repartition(3).write.parquet(src)
+    idx = EmbeddingLSHIndex.create(
+        spark, str(tmp_path / "eidx"), n_bands=4, planes_per_band=4
+    )
+    ct = ClusterTable.create(spark, str(tmp_path / "ecl"))
+    q = run_dedup_stream(
+        spark, src, str(tmp_path / "eckpt"), idx, ct,
+        id_col="vec_id", text_col="embedding", threshold=0.4,
+    )
+    q.awaitTermination()
+    assert idx.doc_count() == sample.count()
+    # clusters cover exactly the paired ids
+    paired = {i for p in full for i in (p[0], p[1])}
+    assert {r["doc_id"] for r in ct.assignments().collect()} == paired
+
+
+def test_embedding_remove_docs(spark, emb, tmp_path):
+    from datax_spark.dedup_index import EmbeddingLSHIndex
+
+    idx = EmbeddingLSHIndex.create(spark, str(tmp_path / "eidx3"), n_bands=3, planes_per_band=5)
+    idx.add_batch(emb.limit(50), batch_id="b0")
+    gone = [r["vec_id"] for r in emb.limit(5).collect()]
+    idx.remove_docs(spark.createDataFrame([(v,) for v in gone], "vec_id long"), batch_id="rm")
+    assert idx.doc_count() == 45
+    assert idx.table.snapshot().filter(F.col("vec_id").isin(gone)).count() == 0

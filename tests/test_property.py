@@ -100,3 +100,76 @@ def test_engine_fold_is_delivery_order_independent(
     got = {r["path"]: r["content"] for r in t.snapshot().collect()}
     want = {f"k{k}": v for k, v in model_fold(events).items()}
     assert got == want
+
+
+# ---- incremental cluster maintenance vs a union-find model ----------
+
+edge_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=1,
+    max_size=22,
+)
+
+
+def _uf_components(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min member id of the component
+    label = {}
+    for n in nodes:
+        r = find(n)
+        label.setdefault(r, min(m for m in nodes if find(m) == r))
+    return {n: label[find(n)] for n in nodes}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    raw=edge_sets,
+    split=st.integers(min_value=0, max_value=21),
+    removals=st.sets(st.integers(min_value=0, max_value=12), max_size=4),
+)
+def test_cluster_table_matches_union_find(spark, tmp_path_factory, raw, split, removals):
+    """Any batch split of any edge set, followed by any removal set,
+    equals a union-find fold over the surviving edges (stranded
+    survivors self-labeled)."""
+    from datax_spark.dedup_index import ClusterTable
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    loc = str(tmp_path_factory.mktemp("ctprop") / "ct")
+    ct = ClusterTable.create(spark, loc, num_buckets=4, track_edges=True)
+    split = min(split, len(edges))
+    for i, chunk in enumerate((edges[:split], edges[split:])):
+        if chunk:
+            ct.add_pairs(
+                spark.createDataFrame(chunk, "id_a long, id_b long"),
+                batch_id=f"b{i}",
+            )
+    removals = {r for r in removals}
+    if removals:
+        ct.remove_docs(
+            spark.createDataFrame([(r,) for r in removals], "doc_id long"),
+            batch_id="rm",
+        )
+    nodes = {n for e in edges for n in e} - removals
+    surviving = [
+        (a, b) for a, b in edges if a not in removals and b not in removals
+    ]
+    want = _uf_components(nodes, surviving)
+    got = {r["doc_id"]: r["cluster_id"] for r in ct.assignments().collect()}
+    assert got == want
