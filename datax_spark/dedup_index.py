@@ -73,23 +73,32 @@ class MinHashIndex:
             spark, location, T.StructType(fields),
             key_cols=["doc_id"], num_buckets=num_buckets,
         )
-        # Pin the parameters in a commit so load() can restore them.
+        # Pin the parameters in a commit (audit trail) AND a static
+        # sidecar: params are immutable at create, and the sidecar
+        # survives expire_snapshots, which prunes the commit that
+        # carries the metrics record (history()-only recovery would
+        # break load() after routine maintenance).
         table.evolve_schema(
             T.StructType(fields),
             change=f"minhash_params:n_bands={n_bands},k={k},stride={stride}",
+        )
+        _write_index_params(
+            location, "minhash", {"n_bands": n_bands, "k": k, "stride": stride}
         )
         return cls(table, n_bands, k, stride)
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "MinHashIndex":
         table = SnapshotTable.load(spark, location)
-        params = {}
-        for rec in table.history():
-            change = str(rec.get("metrics", {}).get("schema_change", ""))
-            if change.startswith("minhash_params:"):
-                params = dict(
-                    kv.split("=") for kv in change.split(":", 1)[1].split(",")
-                )
+        params = _read_index_params(location, "minhash")
+        if params is None:  # pre-sidecar index: recover from history
+            params = {}
+            for rec in table.history():
+                change = str(rec.get("metrics", {}).get("schema_change", ""))
+                if change.startswith("minhash_params:"):
+                    params = dict(
+                        kv.split("=") for kv in change.split(":", 1)[1].split(",")
+                    )
         if not params:
             raise ValueError(f"{location} is not a MinHashIndex table")
         return cls(table, int(params["n_bands"]), int(params["k"]), int(params["stride"]))
@@ -185,6 +194,33 @@ def _edges_location(location: str) -> str:
     import os
 
     return os.path.join(location.rstrip("/"), "edges")
+
+
+def _params_path(location: str) -> str:
+    import os
+
+    return os.path.join(location, "_index.json")
+
+
+def _write_index_params(location: str, kind: str, params: dict) -> None:
+    import json
+
+    with open(_params_path(location), "w") as fh:
+        json.dump({"kind": kind, **params}, fh)
+
+
+def _read_index_params(location: str, kind: str) -> dict | None:
+    import json
+    import os
+
+    p = _params_path(location)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        rec = json.load(fh)
+    if rec.get("kind") != kind:
+        raise ValueError(f"{location} holds a {rec.get('kind')} index, not {kind}")
+    return {k: v for k, v in rec.items() if k != "kind"}
 
 
 def run_dedup_stream(
@@ -513,18 +549,25 @@ class EmbeddingLSHIndex:
                 f"planes_per_band={planes_per_band},n_dims={n_dims}"
             ),
         )
+        _write_index_params(
+            location, "emblsh",
+            {"n_bands": n_bands, "planes_per_band": planes_per_band,
+             "n_dims": n_dims},
+        )
         return cls(table, n_bands, planes_per_band, n_dims)
 
     @classmethod
     def load(cls, spark: SparkSession, location: str) -> "EmbeddingLSHIndex":
         table = SnapshotTable.load(spark, location)
-        params = {}
-        for rec in table.history():
-            change = str(rec.get("metrics", {}).get("schema_change", ""))
-            if change.startswith("emblsh_params:"):
-                params = dict(
-                    kv.split("=") for kv in change.split(":", 1)[1].split(",")
-                )
+        params = _read_index_params(location, "emblsh")
+        if params is None:  # pre-sidecar index: recover from history
+            params = {}
+            for rec in table.history():
+                change = str(rec.get("metrics", {}).get("schema_change", ""))
+                if change.startswith("emblsh_params:"):
+                    params = dict(
+                        kv.split("=") for kv in change.split(":", 1)[1].split(",")
+                    )
         if not params:
             raise ValueError(f"{location} is not an EmbeddingLSHIndex table")
         return cls(table, int(params["n_bands"]), int(params["planes_per_band"]),

@@ -396,3 +396,32 @@ def test_embedding_remove_docs(spark, emb, tmp_path):
     idx.remove_docs(spark.createDataFrame([(v,) for v in gone], "vec_id long"), batch_id="rm")
     assert idx.doc_count() == 45
     assert idx.table.snapshot().filter(F.col("vec_id").isin(gone)).count() == 0
+
+
+def test_index_survives_snapshot_expiry(spark, docs, tmp_path):
+    """Routine maintenance (expire_snapshots + vacuum) prunes the
+    commit that carried the parameter record; the params sidecar keeps
+    load() working and later batches still pair correctly."""
+    import os
+
+    loc = str(tmp_path / "mhexp")
+    idx = MinHashIndex.create(spark, loc, n_bands=4, k=8, stride=4)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    got = _pairs_set(idx.add_batch(half, batch_id="b0"))
+    idx.table.expire_snapshots(keep_last=1)
+    idx.table.vacuum()
+
+    re = MinHashIndex.load(spark, loc)
+    assert (re.n_bands, re.k, re.stride) == (4, 8, 4)
+    got |= _pairs_set(
+        re.add_batch(docs.filter(F.col("doc_id") % 2 == 1), batch_id="b1")
+    )
+    full = _pairs_set(minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4))
+    assert got == full
+
+    # pre-sidecar indexes (no _index.json, history intact) still load
+    loc2 = str(tmp_path / "mhlegacy")
+    MinHashIndex.create(spark, loc2, n_bands=3, k=6, stride=2)
+    os.unlink(os.path.join(loc2, "_index.json"))
+    legacy = MinHashIndex.load(spark, loc2)
+    assert (legacy.n_bands, legacy.k, legacy.stride) == (3, 6, 2)
