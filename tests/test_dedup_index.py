@@ -425,3 +425,18 @@ def test_index_survives_snapshot_expiry(spark, docs, tmp_path):
     os.unlink(os.path.join(loc2, "_index.json"))
     legacy = MinHashIndex.load(spark, loc2)
     assert (legacy.n_bands, legacy.k, legacy.stride) == (3, 6, 2)
+
+
+def test_cluster_remove_unknown_and_whole_cluster(spark, tmp_path):
+    """Removing an id that was never clustered is a harmless no-op on
+    assignments; removing every member of a cluster erases it."""
+    from datax_spark.dedup_index import ClusterTable
+
+    ct = ClusterTable.create(spark, str(tmp_path / "ct"), track_edges=True)
+    mk = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    ct.add_pairs(mk([(1, 2), (7, 8)]), batch_id="b0")
+    ct.remove_docs(_ids(spark, [99]), batch_id="r0")
+    assert _assign(ct) == {1: 1, 2: 1, 7: 7, 8: 7}
+    ct.remove_docs(_ids(spark, [7, 8]), batch_id="r1")
+    assert _assign(ct) == {1: 1, 2: 1}
+    assert ct.edges.snapshot().count() == 1  # only (1,2) survives
