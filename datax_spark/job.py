@@ -444,6 +444,8 @@ def _write(spark: SparkSession, df: DataFrame, writer: dict, result: JobResult) 
         df.write.format("jdbc").options(**jopts).mode(jmode).save()
     elif name == "snapshotwriter":
         _write_snapshot(spark, df, p, result)
+    elif name == "dedupindexwriter":
+        _write_dedup_index(spark, df, p, result)
     else:
         raise JobConfigError(f"unknown writer {name!r}")
     for sql in p.get("postSql") or []:
@@ -476,6 +478,72 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
     elif mode not in ("replace", "update"):
         raise JobConfigError(f"snapshotwriter writeMode {mode!r}")
     result.commit = table.merge(df, batch_id=p.get("batchId"))
+
+
+def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobResult) -> None:
+    """Incremental dedup maintenance as a job-spec sink: each job run
+    is ONE batch into a persisted LSH index (kind: minhash over a text
+    column, embedding over a vector column), optionally folding the
+    batch's candidate pairs into a cluster table. Exactly-once per
+    batchId rides the index tables' own ledgers, so rerunning a failed
+    job is safe — the DataX writer idiom (land a batch, dedupe against
+    everything already landed) without ever recomputing the corpus."""
+    from .dedup_index import ClusterTable, EmbeddingLSHIndex, MinHashIndex
+
+    kind = p.get("kind", "minhash")
+    loc = p["path"]
+    batch_id = p.get("batchId")
+    id_col = p.get("idColumn", "doc_id")
+    exists = os.path.isdir(os.path.join(loc, "_commits"))
+    if kind == "minhash":
+        idx = (
+            MinHashIndex.load(spark, loc)
+            if exists
+            else MinHashIndex.create(
+                spark, loc,
+                n_bands=int(p.get("bands", 4)),
+                k=int(p.get("shingleK", 8)),
+                stride=int(p.get("stride", 4)),
+                num_buckets=int(p.get("numBuckets", 32)),
+            )
+        )
+        pairs = idx.add_batch(
+            df, batch_id=batch_id,
+            text_col=p.get("contentColumn", "text"), id_col=id_col,
+        )
+    elif kind == "embedding":
+        idx = (
+            EmbeddingLSHIndex.load(spark, loc)
+            if exists
+            else EmbeddingLSHIndex.create(
+                spark, loc,
+                n_bands=int(p.get("bands", 4)),
+                planes_per_band=int(p.get("planesPerBand", 4)),
+                n_dims=int(p.get("dims", 64)),
+                num_buckets=int(p.get("numBuckets", 32)),
+            )
+        )
+        pairs = idx.add_batch(
+            df, batch_id=batch_id, id_col=id_col,
+            vec_col=p.get("contentColumn", "embedding"),
+            threshold=float(p.get("threshold", 0.4)),
+        )
+    else:
+        raise JobConfigError(f"dedupindexwriter kind {kind!r} (minhash|embedding)")
+    cloc = p.get("clusterPath")
+    if cloc:
+        ct = (
+            ClusterTable.load(spark, cloc)
+            if os.path.isdir(os.path.join(cloc, "_commits"))
+            else ClusterTable.create(
+                spark, cloc,
+                num_buckets=int(p.get("numBuckets", 32)),
+                track_edges=bool(p.get("trackEdges", False)),
+            )
+        )
+        ct.add_pairs(pairs, batch_id=batch_id)
+    result.output = pairs
+    pairs.createOrReplaceTempView(p.get("pairsView", "dedup_pairs"))
 
 
 # ------------------------------------------------------------------ engine

@@ -611,3 +611,56 @@ def test_csv_reader_honors_configured_column_types(spark, tmp_path):
         }]}
     })
     assert dict(spark.table("inferred_back").dtypes)["id"] == "int"
+
+
+def test_dedup_index_writer(spark, tmp_path):
+    """dedupindexwriter: two job runs = two batches into one persisted
+    index + cluster table; union of batches equals one-shot LSH pairs;
+    a replayed batchId is a ledger no-op."""
+    from datax_spark.dedup_index import ClusterTable, MinHashIndex
+    from datax_spark.graph import connected_components
+    from datax_spark.textops import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    iloc, cloc = str(tmp_path / "mhidx"), str(tmp_path / "mhcl")
+    for b in range(2):
+        src = str(tmp_path / f"batch{b}")
+        docs.filter(F.col("doc_id") % 2 == b).write.parquet(src)
+        spec = {"job": {"content": [{
+            "reader": {"name": "parquetreader",
+                       "parameter": {"path": src, "column": ["doc_id", "text"]}},
+            "writer": {"name": "dedupindexwriter",
+                       "parameter": {"path": iloc, "clusterPath": cloc,
+                                     "batchId": f"b{b}", "numBuckets": 4,
+                                     "trackEdges": True}},
+        }]}}
+        run_job(spark, spec)
+        if b == 0:  # replay of the same batch is a no-op on both tables
+            vi = MinHashIndex.load(spark, iloc).table.current()["version"]
+            run_job(spark, spec)
+            assert MinHashIndex.load(spark, iloc).table.current()["version"] == vi
+
+    idx = MinHashIndex.load(spark, iloc)
+    assert idx.doc_count() == docs.count()
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4)
+        ).collect()
+    }
+    ct = ClusterTable.load(spark, cloc)
+    got = {r["doc_id"]: r["cluster_id"] for r in ct.assignments().collect()}
+    assert got == expected
+    assert ct.edges is not None  # trackEdges honored → removal-capable
+
+
+def test_dedup_index_writer_rejects_unknown_kind(spark, tmp_path):
+    docs = f"{SF}/documents.parquet"
+    spec = {"job": {"content": [{
+        "reader": {"name": "parquetreader",
+                   "parameter": {"path": docs, "column": ["doc_id", "text"]}},
+        "writer": {"name": "dedupindexwriter",
+                   "parameter": {"path": str(tmp_path / "x"), "kind": "nope"}},
+    }]}}
+    with pytest.raises(JobConfigError, match="minhash|embedding"):
+        run_job(spark, spec)
