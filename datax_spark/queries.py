@@ -1710,6 +1710,71 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_training_mix",
+    """
+WITH h AS (SELECT doc_id, lang,
+                  sha256('mix:' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+b AS (SELECT doc_id, lang,
+             CAST(list_sum(list_transform(range(1, 9),
+                   i -> (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+                        * CAST(power(16, 8 - i) AS BIGINT))) % 10000 AS BIGINT) AS bucket
+      FROM h)
+SELECT lang, count(*) AS n_docs
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 10000 WHEN 'fr' THEN 5000
+                         WHEN 'es' THEN 2500 WHEN 'zh' THEN 1000
+                         ELSE 500 END
+GROUP BY lang
+""",
+    demoted=True,
+)
+def sample_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified training-mix sampling (textops.sample_stratified):
+    per-language keep-rates applied via the deterministic sha bucket —
+    the data-mixing stage of an LM corpus build, stable as the corpus
+    grows and map-side per row. Oracle = the same nibble arithmetic +
+    CASE thresholds in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    mixed = textops.sample_stratified(
+        docs, {"en": 1.0, "fr": 0.5, "es": 0.25, "zh": 0.1},
+        strata_col="lang", id_col="doc_id", salt="mix", default_rate=0.05,
+    )
+    return mixed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "decontam_benchmark_overlap",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(tok) - 2, 0) + 1),
+                 i -> array_to_string(tok[i:i+2], ' ')))) AS ng
+      FROM t),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0)
+SELECT g.doc_id, count(*) AS n_shared
+FROM g JOIN bench USING (ng)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+""",
+    demoted=True,
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textops.contamination_scores): count
+    distinct word-trigram overlaps between candidate docs and a
+    benchmark slice (doc_id % 97 == 0 stands in for the eval set) —
+    the n-gram contamination test run before training (production
+    pipelines use 8-13-grams; the synthetic corpus's natural overlap
+    sits at trigram scale). Benchmark n-grams broadcast; corpus
+    explodes map-side; one count shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cand = docs.filter(F.col("doc_id") % 97 != 0)
+    return textops.contamination_scores(cand, bench, n=3)
+
+
+@query(
     "text_chunk_windows",
     """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

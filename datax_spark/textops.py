@@ -227,6 +227,97 @@ def hash_split(
     return df.withColumn("split", expr.otherwise(F.lit(list(weights)[-1])))
 
 
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Training-mix construction: downsample each stratum (language /
+    domain / source) to its configured keep-rate, deterministically —
+    the data-mixing stage of an LM corpus build (keep all of en, 30%
+    of crawl, 5% of logs, ...). Same sha-bucket machinery as
+    hash_split: membership is reproducible across engines and re-runs,
+    stable as the corpus grows (randomSplit is neither), and decided
+    map-side per row — no shuffle, no RNG state. A row's bucket
+    depends only on (salt, id), so changing one stratum's rate never
+    resamples the others."""
+    n = 10_000
+    bucket = hash_split_bucket(id_col, n, salt)
+    thresh: Column | None = None
+    for k, r in rates.items():
+        t = F.lit(int(round(r * n)))
+        cond = F.col(strata_col) == k
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    default = F.lit(int(round(default_rate * n)))
+    thresh = default if thresh is None else thresh.otherwise(default)
+    return df.filter(bucket < thresh)
+
+
+def word_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Distinct word n-grams (n consecutive whitespace tokens joined
+    by one space) as array<string>; empty when the document has fewer
+    than n tokens. Pure array built-ins — map-side, no explode here
+    (callers explode only where they need one row per gram)."""
+    tok = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - n + 1),
+        lambda i: F.array_join(F.slice(tok, i, n), " "),
+    )
+    empty = F.expr("cast(array() as array<string>)")
+    return F.when(F.size(tok) >= n, F.array_distinct(grams)).otherwise(empty)
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): per
+    candidate document, the number of distinct word n-grams it shares
+    with a benchmark/eval corpus — the standard n-gram-overlap
+    contamination test run before training so eval questions don't
+    leak into the training set. Scale shape: eval sets are tiny, so
+    the benchmark's distinct n-gram set BROADCASTS; the corpus side
+    explodes map-side into the broadcast hash join, and the only
+    shuffle is the final per-doc count. Returns (doc_id, n_shared),
+    contaminated docs only."""
+    g = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(text_col, n)).alias("ng"),
+    )
+    bg = benchmark.select(F.explode(word_ngrams(text_col, n)).alias("ng")).distinct()
+    return (
+        g.join(F.broadcast(bg), on="ng")
+        # per-doc grams are already distinct (word_ngrams dedups), so
+        # each match is one distinct shared gram
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop documents sharing >= min_shared distinct word n-grams with
+    the benchmark corpus (anti-join against contamination_scores)."""
+    hits = contamination_scores(
+        docs, benchmark, n=n, text_col=text_col, id_col=id_col
+    ).filter(F.col("n_shared") >= min_shared)
+    return docs.join(
+        hits.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+
+
 def chunk_token_windows(
     df: DataFrame,
     text_col: str = "text",

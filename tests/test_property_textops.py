@@ -143,3 +143,50 @@ def test_word_occurrences_matches_token_membership_model(spark, docs):
     }
     for i, text in enumerate(docs):
         assert got[i] == sum(1 for t in text.split(" ") if t in vocab), (i, text)
+
+
+# ---- stratified mix + decontamination ---------------------------------
+
+
+def test_sample_stratified_deterministic_and_monotone(spark):
+    """Same salt → identical keep set across runs; raising one
+    stratum's rate only ADDS members to it and never touches others."""
+    rows = [(i, ["en", "fr", "zh"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def keep(rates, default=0.0):
+        out = textops.sample_stratified(
+            df, rates, strata_col="lang", id_col="doc_id", default_rate=default
+        )
+        return {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    a = keep({"en": 0.5, "fr": 0.2})
+    assert a == keep({"en": 0.5, "fr": 0.2})  # deterministic
+    assert all(lang != "zh" for _, lang in a)  # default_rate=0 drops zh
+    b = keep({"en": 0.9, "fr": 0.2})
+    assert {x for x in a if x[1] == "en"} <= {x for x in b if x[1] == "en"}
+    assert {x for x in a if x[1] == "fr"} == {x for x in b if x[1] == "fr"}
+    full = keep({}, default=1.0)
+    assert len(full) == 300  # rate 1.0 keeps everything
+
+
+def test_word_ngrams_and_decontaminate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),        # shares "a b c" + "b c d" with bench
+            (2, "x y z w"),          # disjoint
+            (3, "z a b c z"),        # shares "a b c" only
+            (4, "a b"),              # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "q a b c d q")], "doc_id long, text string"
+    )
+    scores = {
+        r["doc_id"]: r["n_shared"]
+        for r in textops.contamination_scores(docs, bench, n=3).collect()
+    }
+    assert scores == {1: 2, 3: 1}  # doc1 shares "a b c" + "b c d"
+    clean = textops.decontaminate(docs, bench, n=3)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 4}
