@@ -495,6 +495,26 @@ def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobR
     batch_id = p.get("batchId")
     id_col = p.get("idColumn", "doc_id")
     exists = os.path.isdir(os.path.join(loc, "_commits"))
+
+    def _warn_param_drift(idx_params: dict, spec_keys: dict) -> None:
+        # An existing index pins its LSH parameters at create time —
+        # silently honoring a spec that asks for different ones would
+        # make this batch's buckets incompatible with the stored
+        # signatures (missed duplicates, no error). Warn loudly.
+        drift = {
+            spec_key: (p[spec_key], idx_params[attr])
+            for spec_key, attr in spec_keys.items()
+            if spec_key in p and int(p[spec_key]) != idx_params[attr]
+        }
+        if drift:
+            msg = (
+                f"dedupindexwriter: index at {loc} pins "
+                + ", ".join(f"{k}={have} (spec asks {want})" for k, (want, have) in drift.items())
+                + " — create-time parameters win; re-create the index to change them"
+            )
+            warnings.warn(msg, stacklevel=2)
+            result.warnings.append(msg)
+
     if kind == "minhash":
         idx = (
             MinHashIndex.load(spark, loc)
@@ -507,6 +527,11 @@ def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobR
                 num_buckets=int(p.get("numBuckets", 32)),
             )
         )
+        if exists:
+            _warn_param_drift(
+                {"n_bands": idx.n_bands, "k": idx.k, "stride": idx.stride},
+                {"bands": "n_bands", "shingleK": "k", "stride": "stride"},
+            )
         pairs = idx.add_batch(
             df, batch_id=batch_id,
             text_col=p.get("contentColumn", "text"), id_col=id_col,
@@ -523,6 +548,13 @@ def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobR
                 num_buckets=int(p.get("numBuckets", 32)),
             )
         )
+        if exists:
+            _warn_param_drift(
+                {"n_bands": idx.n_bands, "planes_per_band": idx.planes_per_band,
+                 "n_dims": idx.n_dims},
+                {"bands": "n_bands", "planesPerBand": "planes_per_band",
+                 "dims": "n_dims"},
+            )
         pairs = idx.add_batch(
             df, batch_id=batch_id, id_col=id_col,
             vec_col=p.get("contentColumn", "embedding"),

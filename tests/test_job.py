@@ -664,3 +664,26 @@ def test_dedup_index_writer_rejects_unknown_kind(spark, tmp_path):
     }]}}
     with pytest.raises(JobConfigError, match="minhash|embedding"):
         run_job(spark, spec)
+
+
+def test_dedup_index_writer_warns_on_param_drift(spark, tmp_path):
+    """An existing index pins its create-time LSH parameters; a spec
+    asking for different ones gets a warning, not silent drift."""
+    docs = f"{SF}/documents.parquet"
+    loc = str(tmp_path / "mhidx")
+
+    def spec(bands):
+        return {"job": {"content": [{
+            "reader": {"name": "parquetreader",
+                       "parameter": {"path": docs, "column": ["doc_id", "text"]}},
+            "writer": {"name": "dedupindexwriter",
+                       "parameter": {"path": loc, "batchId": "b0",
+                                     "bands": bands, "numBuckets": 4}},
+        }]}}
+
+    r1 = run_job(spark, spec(4))
+    assert r1.warnings == []
+    r2 = run_job(spark, spec(8))  # replayed batch, conflicting bands
+    assert any("pins" in w and "bands" in w for w in r2.warnings)
+    from datax_spark.dedup_index import MinHashIndex
+    assert MinHashIndex.load(spark, loc).n_bands == 4  # create-time wins
