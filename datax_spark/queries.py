@@ -2739,6 +2739,43 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic",
+    f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+sc AS (SELECT e.vec_id, c.cid, {_COS_SQL} AS cos
+       FROM (SELECT vec_id, embedding AS qv FROM embeddings) e, cent c),
+r AS (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      FROM sc),
+assign AS (SELECT vec_id, cid AS cell FROM r WHERE rn = 1),
+m AS (SELECT a.vec_id, a.cell, e.embedding FROM assign a
+      JOIN embeddings e USING (vec_id)),
+p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b, {_COS_SQL} AS cos
+      FROM (SELECT vec_id, cell, embedding AS qv FROM m) x
+      JOIN (SELECT vec_id, cell, embedding AS cv FROM m) y
+      ON x.cell = y.cell AND x.vec_id < y.vec_id),
+d AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.4)
+SELECT a.vec_id, a.cell, (d.id_b IS NULL) AS keep
+FROM assign a LEFT JOIN d ON a.vec_id = d.id_b
+""",
+    demoted=True,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (simsearch.semantic_dedup):
+    k-means-partition the embedding space (broadcast centroid assign),
+    then prune >= threshold pairs WITHIN cells only — Σ|cell|² pair
+    work instead of N², the same containment argument as IVF search.
+    Keep rule: the minimum id of each ε-similar in-cell group
+    survives, deterministically. Seed centroids (first 16 ids) keep
+    the whole index oracle-reproducible, as in ann_ivf_topk; the
+    production path passes ivf_train centroids instead."""
+    emb = load(spark, sf_dir, "embeddings")
+    return simsearch.semantic_dedup(
+        emb, threshold=0.4, centroids=emb.filter(F.col("vec_id") < 16)
+    )
+
+
+@query(
     "ann_lsh_buckets",
     """
 WITH planes AS (

@@ -543,3 +543,60 @@ def cosine_dedup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.85,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune, per
+    the public SemDeDup recipe: partition the embedding space with
+    k-means, then look for near-duplicates only WITHIN each cluster):
+
+      1. assign every vector to its nearest centroid — broadcast
+         centroids, map-side O(N·K) (ivf_assign);
+      2. per-cell pairwise cosine on the (cell)-keyed self-join —
+         Σ|cell|² work instead of N², the same containment argument
+         that makes IVF search scale (centroid count sizes as √N via
+         size_ivf_centroids, so expected cell size stays bounded);
+      3. deterministic keep rule: a row is dropped iff some
+         SMALLER-id member of its cell is >= threshold similar — so
+         exactly one representative (the minimum id) survives per
+         ε-similar group, independent of partitioning.
+
+    Pass `centroids=` from ivf_train for the production path, or let
+    the deterministic seed selection (first K ids) keep the whole
+    index oracle-reproducible. Returns (id_col, cell, keep); filter
+    on keep for the pruned corpus."""
+    if centroids is None:
+        if n_centroids is None:
+            n_centroids = size_ivf_centroids(df.count())
+        centroids = df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    v = df.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"),
+        l2_norm(as_double(vec_col)).alias("_n"),
+    ).join(assigned.withColumnRenamed(id_col, "_id"), "_id")
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                 F.col("_n").alias("na"), "cell")
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                 F.col("_n").alias("nb"), "cell")
+    dup = (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "_cos", _pair_cosine(dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup, assigned[id_col] == dup["_dup_id"], "left")
+        .withColumn("keep", F.col("_dup_id").isNull())
+        .select(id_col, "cell", "keep")
+    )

@@ -152,3 +152,57 @@ def test_ivf_nprobe_improves_recall_toward_exact(spark):
     assert r1 <= r2 + 1e-9 <= rall + 2e-9, (r1, r2, rall)
     assert rall == 1.0, f"nprobe=K must equal exact top-k (recall {rall})"
     assert r2 >= r1  # the lever actually moves
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semantic_dedup_keeps_min_id_per_similar_group(spark):
+    # ids 0/1/2 identical direction (scaled copies -> cosine 1), id 3
+    # orthogonal: one centroid world (seed = id 0) so all share a cell.
+    df = _vec_df(spark, [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),
+        (2, [0.5, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ])
+    out = simsearch.semantic_dedup(df, threshold=0.9, n_centroids=1)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert got == {0: True, 1: False, 2: False, 3: True}
+
+
+def test_semantic_dedup_prunes_within_cells_only(spark):
+    # Two well-separated directions; seeds (ids 0 and 1) land one
+    # centroid per direction, and each cell prunes independently.
+    df = _vec_df(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.05]),   # cell of id 0
+        (3, [0.05, 1.0]),   # cell of id 1
+        (4, [1.0, 0.04]),   # cell of id 0
+    ])
+    out = simsearch.semantic_dedup(df, threshold=0.95, n_centroids=2)
+    rows = {r.vec_id: r for r in out.collect()}
+    # cell 0 = {0, 2, 4}: 0 (the min id) survives, 2 and 4 prune
+    # against it; cell 1 = {1, 3}: cos([0,1],[0.05,1]) ≈ 0.9988 ≥ .95
+    # so 3 prunes against 1. The near-identical CROSS-cell pair (2, 4
+    # vs 3) never even scores — blocking is by cell.
+    assert {i: r.keep for i, r in rows.items()} == {
+        0: True, 1: True, 2: False, 3: False, 4: False,
+    }
+    assert rows[2].cell == rows[4].cell != rows[3].cell
+
+
+def test_semantic_dedup_dropped_ids_subset_of_exact_pairs(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    out = simsearch.semantic_dedup(
+        emb, threshold=0.4, centroids=emb.filter(F.col("vec_id") < 16)
+    )
+    dropped = {r.vec_id for r in out.filter(~F.col("keep")).collect()}
+    exact_b = {
+        r.id_b
+        for r in simsearch.cosine_dedup_pairs(emb, threshold=0.4).collect()
+    }
+    # cell blocking only ever REDUCES the prune set vs all-pairs
+    assert dropped <= exact_b
