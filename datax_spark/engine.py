@@ -192,6 +192,47 @@ class CDCEngine:
         self._last_metrics = {"rows": n_rows, "wall_sec": wall, "rows_per_sec": n_rows / wall}
         return ci
 
+    # -------------------------------------------------------- bootstrap
+
+    def bootstrap(
+        self,
+        snapshot_df: DataFrame,
+        snapshot_lsn: int,
+        batch_id: str = "bootstrap",
+        lsn_col: str | None = None,
+    ) -> CommitInfo:
+        """Initial full load (the reference's full-sync job) with a
+        consistent LSN cutover into the WAL tail — the classic
+        snapshot-then-binlog handoff every production CDC pipeline
+        starts with.
+
+        `snapshot_df` is the source state consistent AS OF
+        `snapshot_lsn` (every change with lsn <= snapshot_lsn applied,
+        none after). Each row is stamped op='I' and lsn=snapshot_lsn
+        (or a per-row `lsn_col` when the dump carries one) and applied
+        as a normal exactly-once batch — so bootstrap shares the merge
+        path, the batch-id ledger (idempotent re-runs), schema
+        evolution and lineage with every other batch.
+
+        Cutover contract: the subsequent WAL replay must start at or
+        before snapshot_lsn + 1 and be gap-free. OVERLAP is safe — the
+        key-wise LWW fold discards replayed events older than the
+        stamped snapshot rows, and a key deleted before the snapshot
+        is re-tombstoned by the replayed delete itself (the overlap
+        window that redelivers the old insert also redelivers the
+        delete that beat it). Gaps are not safe: an event between
+        snapshot_lsn and the replay start is lost — same rule as any
+        checkpoint resume."""
+        df = snapshot_df
+        if lsn_col is None:
+            df = df.withColumn("lsn", F.lit(int(snapshot_lsn)).cast("long"))
+        elif lsn_col != "lsn":
+            df = df.withColumn("lsn", F.col(lsn_col).cast("long")).drop(lsn_col)
+        df = df.withColumn("op", F.lit("I")).withColumn(
+            "_source_file", F.lit(f"snapshot:{batch_id}")
+        )
+        return self.apply_batch(df, batch_id=batch_id)
+
     # ------------------------------------------------------- dead letter
 
     def quarantined(self) -> DataFrame | None:

@@ -152,6 +152,30 @@ def cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_with_sha(table)
 
 
+@query("cdc_bootstrap_cutover", _CDC_FOLD_SQL, demoted=True)
+def cdc_bootstrap_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-then-binlog handoff (CDCEngine.bootstrap): the state
+    as of a mid-stream watermark is loaded as a stamped full snapshot
+    (op='I', lsn=watermark — the reference's full-sync job feeding our
+    incremental tail), then the WAL replays WITH FULL OVERLAP from
+    lsn 0. LWW must discard every overlapped older event, so the final
+    state equals the plain single-pass fold — the oracle is shared
+    with cdc_replay_events verbatim."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+
+    pre = _fresh_table(spark, registry)
+    CDCEngine(spark, pre, registry).apply_batch(
+        changes.filter(F.col("lsn") <= mid), batch_id="pre"
+    )
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry)
+    engine.bootstrap(pre.snapshot(), snapshot_lsn=int(mid))
+    engine.apply_batch(changes, batch_id="overlap-replay")
+    return _snapshot_with_sha(table)
+
+
 @query("cdc_merge_incremental", _CDC_FOLD_SQL)
 def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two lsn-ordered micro-batches + a verbatim REDELIVERY of batch 2

@@ -512,3 +512,87 @@ def test_replay_id_fixed_length_and_lineage_audit(spark, tmp_path):
     sources = {e["source"] for e in t.current()["lineage"]}
     assert f"quarantine:{long_id}" in sources
     assert "quarantine:other-batch" in sources
+
+
+def test_bootstrap_snapshot_then_full_overlap_replay(spark, wal_fixture, tmp_path):
+    """Snapshot-then-binlog handoff: bootstrap from a consistent
+    source snapshot at watermark L, then replay a WAL window that
+    fully OVERLAPS it (from lsn 0). LWW must discard the overlapped
+    old events and converge to the plain-replay final state."""
+    import glob
+    import os
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    segs = sorted(glob.glob(os.path.join(wal_fixture.wal_dir, "*.parquet")))
+    head, tail = segs[:3], segs[3:]
+    assert head and tail
+
+    # source state consistent as of the head's max lsn
+    pre = SnapshotTable.create(
+        spark, str(tmp_path / "pre"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    pre_eng = CDCEngine(spark, pre, reg)
+    for i, s in enumerate(head):
+        pre_eng.apply_batch(spark.read.parquet(s), batch_id=f"pre-{i}")
+    watermark = max(
+        spark.read.parquet(s).agg(F.max("lsn")).first()[0] for s in head
+    )
+    snap = pre.snapshot()
+
+    # bootstrap a fresh table at the snapshot's (possibly evolved)
+    # schema, then replay the WHOLE WAL over it
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "boot"), pre.schema,
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    eng = CDCEngine(spark, t, reg)
+    ci = eng.bootstrap(snap, snapshot_lsn=watermark)
+    assert not ci.skipped
+    # bootstrap is ledgered: a re-run is an exactly-once no-op
+    assert eng.bootstrap(snap, snapshot_lsn=watermark).skipped
+    eng.replay_batch(wal_fixture.wal_dir, batch_id="overlap-replay")
+
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+    # lineage records the snapshot as its own source
+    sources = {e["source"] for e in t.lineage()}
+    assert "snapshot:bootstrap" in sources
+
+
+def test_bootstrap_then_tail_only_replay(spark, wal_fixture, tmp_path):
+    """The gap-free cutover without overlap: bootstrap at watermark L,
+    then apply only the segments after L — must equal plain replay."""
+    import glob
+    import os
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    segs = sorted(glob.glob(os.path.join(wal_fixture.wal_dir, "*.parquet")))
+    head, tail = segs[:3], segs[3:]
+
+    pre = SnapshotTable.create(
+        spark, str(tmp_path / "pre2"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    pre_eng = CDCEngine(spark, pre, reg)
+    for i, s in enumerate(head):
+        pre_eng.apply_batch(spark.read.parquet(s), batch_id=f"pre-{i}")
+    watermark = max(
+        spark.read.parquet(s).agg(F.max("lsn")).first()[0] for s in head
+    )
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "boot2"), pre.schema,
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    eng = CDCEngine(spark, t, reg)
+    eng.bootstrap(pre.snapshot(), snapshot_lsn=watermark)
+    for i, s in enumerate(tail):
+        eng.apply_batch(spark.read.parquet(s), batch_id=f"tail-{i}")
+
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
