@@ -106,6 +106,15 @@ HEADLINE = [
     # merge_apply ladder.
     "sample_training_mix",
     "decontam_benchmark_overlap",
+    # round-4 continuation: code-curation suite, semantic dedup,
+    # snapshot-bootstrap cutover
+    "code_quality_gate",
+    "code_secret_redaction",
+    "code_license_families",
+    "code_comment_density",
+    "code_clone_groups",
+    "dedup_semantic",
+    "cdc_bootstrap_cutover",
 ]
 
 

@@ -24,7 +24,10 @@ streamwriter (show), memwriter (collect to a named temp view — test
 sink), snapshotwriter (MERGE into SnapshotTable; writeMode insert/
 replace/update mirrors [UP plugin-rdbms-util/.../CommonRdbmsWriter.java]:
 insert diverts rows whose key already exists to the dirty counter,
-replace/update upsert them). All writers honor preSql/postSql hooks.
+replace/update upsert them; writeMode bootstrap stamps a full load at
+a consistent snapshotLsn watermark — the CDCEngine.bootstrap cutover
+— so a subsequent WAL tail may safely overlap the snapshot). All
+writers honor preSql/postSql hooks.
 
 Transformers: dx_substr/pad/replace/filter/cast, dx_sql (Catalyst
 expression), dx_python (named Arrow-vectorized UDF from
@@ -466,6 +469,29 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
             num_buckets=int(p.get("numBuckets", 32)),
         )
     mode = p.get("writeMode", "update")
+    if mode == "bootstrap":
+        # Initial full load at a consistent LSN watermark (the
+        # CDCEngine.bootstrap cutover semantics): every row stamped
+        # op='I'/lsn=snapshotLsn so a subsequent WAL tail may safely
+        # overlap the snapshot — LWW discards overlapped older events.
+        if "snapshotLsn" not in p:
+            raise JobConfigError(
+                "snapshotwriter writeMode 'bootstrap' requires snapshotLsn "
+                "(the watermark the snapshot is consistent as of)"
+            )
+        wm = int(p["snapshotLsn"])
+        batch_id = p.get("batchId", "bootstrap")
+        df = (
+            df.drop("lsn", "op")
+            .withColumn("lsn", F.lit(wm).cast("long"))
+            .withColumn("op", F.lit("I"))
+        )
+        result.commit = table.merge(
+            df, batch_id=batch_id,
+            lineage=[{"source": f"snapshot:{batch_id}", "min_lsn": wm,
+                      "max_lsn": wm, "rows": df.count()}],
+        )
+        return
     if "lsn" not in df.columns:
         df = df.withColumn("lsn", F.monotonically_increasing_id())
     if "op" not in df.columns:

@@ -687,3 +687,56 @@ def test_dedup_index_writer_warns_on_param_drift(spark, tmp_path):
     assert any("pins" in w and "bands" in w for w in r2.warnings)
     from datax_spark.dedup_index import MinHashIndex
     assert MinHashIndex.load(spark, loc).n_bands == 4  # create-time wins
+
+
+def test_snapshotwriter_bootstrap_mode(spark, tmp_path):
+    """writeMode=bootstrap stamps the full load at the snapshotLsn
+    watermark; a later overlapped update older than the watermark
+    must lose LWW, a newer one must win; re-running the bootstrap
+    job is an exactly-once no-op."""
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "boot_snap")
+    src = str(tmp_path / "full_dump.parquet")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(src)
+
+    spec = {"job": {"content": [{
+        "reader": {"name": "parquetreader", "parameter": {"path": src}},
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "upsertKey": ["doc_id"],
+                                 "writeMode": "bootstrap", "snapshotLsn": 100,
+                                 "numBuckets": 4}},
+    }]}}
+    r1 = run_job(spark, spec)
+    assert r1.rows_written == 20
+    table = SnapshotTable.load(spark, loc)
+    assert table.snapshot().count() == 20
+    assert {e["source"] for e in table.lineage()} == {"snapshot:bootstrap"}
+
+    # exactly-once: same batchId → skipped commit, no state change
+    r2 = run_job(spark, spec)
+    assert r2.commit.skipped and table.snapshot().count() == 20
+
+    # overlapped WAL events: lsn 50 (pre-watermark) loses, 150 wins
+    overlap = spark.createDataFrame(
+        [(1, "old", 50, "U"), (2, "new", 150, "U")],
+        "doc_id long, text string, lsn long, op string",
+    )
+    table.merge(overlap, batch_id="tail-1")
+    got = {r.doc_id: r.text for r in table.snapshot().collect()}
+    assert got[1] == "v1" and got[2] == "new"
+
+
+def test_snapshotwriter_bootstrap_requires_watermark(spark, tmp_path):
+    src = str(tmp_path / "dump2.parquet")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(src)
+    with pytest.raises(JobConfigError):
+        run_job(spark, {"job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {"path": src}},
+            "writer": {"name": "snapshotwriter",
+                       "parameter": {"path": str(tmp_path / "t"),
+                                     "upsertKey": ["doc_id"],
+                                     "writeMode": "bootstrap"}},
+        }]}})
