@@ -27,6 +27,18 @@ from .table import CommitInfo, SnapshotTable
 from .transforms import ErrorLimit, TransformPipeline, quarantine
 
 
+def _normalize_source_path(src: str) -> str:
+    """Lineage records input_file_name() URIs (file:///…); retention
+    compares against local paths — normalize both to absolute paths."""
+    if src.startswith("file:"):
+        src = src[5:]
+        while src.startswith("//") and not src.startswith("///"):
+            src = src[1:]
+        if src.startswith("///"):
+            src = src[2:]
+    return os.path.abspath(src) if src.startswith("/") else src
+
+
 class CDCEngine:
     def __init__(
         self,
@@ -232,6 +244,56 @@ class CDCEngine:
             "_source_file", F.lit(f"snapshot:{batch_id}")
         )
         return self.apply_batch(df, batch_id=batch_id)
+
+    # ----------------------------------------------------- WAL retention
+
+    def applied_sources(self) -> set[str]:
+        """Source files fully applied to the table, from committed
+        lineage. A WAL file appears in lineage iff a committed batch
+        consumed ALL of its rows (file sources deliver whole files per
+        micro-batch; quarantine-diverted rows are persisted before the
+        commit), so presence == safe to retire. snapshot:* pseudo
+        sources are excluded — they aren't files."""
+        out = set()
+        for e in self.table.lineage():
+            src = e.get("source") or ""
+            if src and not src.startswith(("snapshot:", "quarantine:")):
+                out.add(_normalize_source_path(src))
+        return out
+
+    def archivable_segments(self, wal_dir: str) -> list[str]:
+        """WAL segment files under wal_dir that committed lineage
+        proves fully applied — the retention candidates. At 10^10
+        events the WAL outgrows any disk unless retired; this is the
+        lineage-driven safe set (an unapplied or half-arrived segment
+        is never listed)."""
+        applied = self.applied_sources()
+        out = []
+        for name in sorted(os.listdir(wal_dir)):
+            p = os.path.join(wal_dir, name)
+            if os.path.isfile(p) and os.path.abspath(p) in applied:
+                out.append(p)
+        return out
+
+    def archive_wal(self, wal_dir: str, archive_dir: str | None = None) -> list[str]:
+        """Retire fully-applied WAL segments: move them to archive_dir
+        (cold storage) or delete when archive_dir is None. Safe with a
+        live streaming tail — the file-source checkpoint remembers
+        processed files and ignores their disappearance — and safe for
+        replays: every retired segment's effect is already in the
+        table, and a replay of the remaining WAL is a ledgered no-op
+        for committed batches. Returns the retired paths."""
+        import shutil
+
+        retired = []
+        for p in self.archivable_segments(wal_dir):
+            if archive_dir is None:
+                os.remove(p)
+            else:
+                os.makedirs(archive_dir, exist_ok=True)
+                shutil.move(p, os.path.join(archive_dir, os.path.basename(p)))
+            retired.append(p)
+        return retired
 
     # ------------------------------------------------------- dead letter
 

@@ -596,3 +596,48 @@ def test_bootstrap_then_tail_only_replay(spark, wal_fixture, tmp_path):
         eng.apply_batch(spark.read.parquet(s), batch_id=f"tail-{i}")
 
     pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+
+
+def test_wal_retention_archives_only_applied_segments(spark, wal_fixture, tmp_path):
+    """Lineage-driven WAL retention: only segments a committed batch
+    fully consumed are archivable; retiring them loses nothing — the
+    remaining WAL still converges to the expected final state."""
+    import glob
+    import os
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    segs = sorted(glob.glob(os.path.join(wal_fixture.wal_dir, "*.parquet")))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "ret"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    eng = CDCEngine(spark, t, reg)
+    for i, s in enumerate(segs[:3]):
+        eng.apply_batch(spark.read.parquet(s), batch_id=f"seg-{i}")
+
+    arch = eng.archivable_segments(wal_fixture.wal_dir)
+    assert arch == [os.path.abspath(p) for p in segs[:3]]  # applied only
+
+    dest = str(tmp_path / "cold")
+    retired = eng.archive_wal(wal_fixture.wal_dir, archive_dir=dest)
+    try:
+        assert retired == arch
+        assert sorted(os.listdir(dest)) == [os.path.basename(p) for p in segs[:3]]
+        live = sorted(glob.glob(os.path.join(wal_fixture.wal_dir, "*.parquet")))
+        assert live == segs[3:]
+
+        # the remaining WAL still completes the table
+        eng.replay_batch(wal_fixture.wal_dir, batch_id="rest")
+        pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+        # now everything is applied and archivable
+        assert eng.archivable_segments(wal_fixture.wal_dir) == [
+            os.path.abspath(p) for p in segs[3:]
+        ]
+    finally:
+        # wal_fixture is session-scoped: put the segments back
+        import shutil
+        for p in sorted(glob.glob(os.path.join(dest, "*.parquet"))):
+            shutil.move(p, os.path.join(wal_fixture.wal_dir, os.path.basename(p)))
