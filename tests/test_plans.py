@@ -109,3 +109,36 @@ def test_running_window_single_exchange(spark):
 
     p = plan(spark, "window_running_spend")
     assert len(re.findall(r"[+:]- Exchange", p)) <= 1
+
+
+def test_code_quality_gate_is_one_scan_no_shuffle(spark):
+    """The code quality panel must stay a single fused projection over
+    the scan: any Exchange would mean a 100 TB sweep shuffles."""
+    p = plan(spark, "code_quality_gate")
+    assert "Exchange" not in p
+    assert "BatchScan" in p or "Scan" in p
+
+
+def test_code_secret_redaction_is_map_side(spark):
+    p = plan(spark, "code_secret_redaction")
+    assert "Exchange" not in p
+
+
+def test_code_comment_density_single_uniform_shuffle(spark):
+    # one lang-keyed aggregation (partial + final) — exactly one
+    # shuffle boundary, with a map-side partial phase
+    p = plan(spark, "code_comment_density")
+    # count tree nodes only — formatted mode re-prints each node in
+    # the detail section ("(5) Exchange")
+    assert p.count("Exchange (") == 1
+    assert "partial" in p.lower()
+
+
+def test_semantic_dedup_no_unbroadcast_cartesian(spark):
+    """Centroid assignment is a broadcast nested-loop by design (K
+    centroids, bounded); there must be no non-broadcast cartesian and
+    the in-cell pair join must be a hash/sort join on cell, never a
+    product."""
+    p = plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the bounded centroid pass
