@@ -192,7 +192,10 @@ def test_example_job_specs_run(spark, tmp_path):
     for path in specs:
         with open(path) as f:
             spec = json.load(f)
-        r = run_job(spark, spec, params={"work": work})
+        r = run_job(
+            spark, spec,
+            params={"work": work, "watermark": "100", "bizdate": "19700101"},
+        )
         assert r.rows_read > 0, path
 
 
