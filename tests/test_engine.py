@@ -641,3 +641,35 @@ def test_wal_retention_archives_only_applied_segments(spark, wal_fixture, tmp_pa
         import shutil
         for p in sorted(glob.glob(os.path.join(dest, "*.parquet"))):
             shutil.move(p, os.path.join(wal_fixture.wal_dir, os.path.basename(p)))
+
+
+def test_wal_retention_safe_under_checkpointed_stream(spark, wal_fixture, tmp_path):
+    """The 'safe under a live tail' retention claim: stream two
+    micro-batches, ARCHIVE the segments the stream already applied,
+    then resume from the same checkpoint — the file source must ignore
+    the retired files and the table must still converge."""
+    import glob
+    import os
+    import shutil
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    loc, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = wal_checkpoint_run(
+        spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=8,
+        stop_after_batches=2,
+    )
+    eng = CDCEngine(spark, t, reg)
+    dest = str(tmp_path / "cold")
+    retired = eng.archive_wal(wal_fixture.wal_dir, archive_dir=dest)
+    try:
+        assert len(retired) == 2  # maxFilesPerTrigger=1 → 2 applied files
+        t = wal_checkpoint_run(
+            spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=8
+        )
+        pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+    finally:
+        for p in sorted(glob.glob(os.path.join(dest, "*.parquet"))):
+            shutil.move(p, os.path.join(wal_fixture.wal_dir, os.path.basename(p)))
