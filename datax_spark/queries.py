@@ -22,7 +22,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
 
 from . import codeops, simsearch, textops
@@ -174,6 +174,58 @@ def cdc_bootstrap_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine.bootstrap(pre.snapshot(), snapshot_lsn=int(mid))
     engine.apply_batch(changes, batch_id="overlap-replay")
     return _snapshot_with_sha(table)
+
+
+@query(
+    "cdc_derived_sync",
+    f"""
+WITH ev AS ({_EV_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev)
+SELECT repo, path, commit_id, content, sha256(content) AS content_sha256
+FROM w WHERE rn = 1 AND op <> 'D' AND length(content) >= 9
+""",
+    demoted=True,
+)
+def cdc_derived_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental derived-table maintenance (derived.sync_derived):
+    a gated, projected materialized view of the replicated table is
+    refreshed from SnapshotTable.diff() after EACH source batch —
+    O(changes), never a rebuild — with gate-fail rows deleted from the
+    derivative, not skipped. Oracle = the full LWW fold + the same
+    gate/projection on the FINAL state, valid because incremental
+    sync == full recompute (pinned in test_derived)."""
+    from .derived import sync_derived
+
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    src = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, src, registry)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+
+    dst_schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit_id", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+    ])
+    dst = SnapshotTable.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="datax_q_drv_"), "t"),
+        dst_schema, key_cols=["repo", "path"], num_buckets=16,
+    )
+
+    def xf(df: DataFrame) -> DataFrame:
+        return df.select(
+            "repo", "path", "commit_id", "content",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+
+    gate = F.length("content") >= 9
+    engine.apply_batch(changes.filter(F.col("lsn") < mid), batch_id="b1")
+    sync_derived(src, dst, transform=xf, gate=gate)
+    engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    sync_derived(src, dst, transform=xf, gate=gate)
+    return dst.snapshot()
 
 
 @query("cdc_merge_incremental", _CDC_FOLD_SQL)

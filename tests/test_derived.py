@@ -1,0 +1,144 @@
+"""Incremental derived-table maintenance (derived.sync_derived): after
+any sequence of syncs at any cadence, the derivative must equal the
+full recompute — transform(src.snapshot()).filter(gate) — exactly,
+including deletions caused by gate flips and source deletes."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from datax_spark.derived import last_synced_version, sync_derived
+from datax_spark.table import SnapshotTable
+
+SRC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ]
+)
+DST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text_upper", T.StringType()),
+        T.StructField("score", T.LongType()),
+    ]
+)
+
+
+def _transform(df):
+    return df.select(
+        "doc_id", F.upper(F.col("text")).alias("text_upper"), "score"
+    )
+
+
+def _gate():
+    return F.col("score") >= 10
+
+
+def _tables(spark, tmp_path, tag):
+    src = SnapshotTable.create(
+        spark, str(tmp_path / f"src_{tag}"), SRC_SCHEMA,
+        key_cols=["doc_id"], num_buckets=4,
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / f"dst_{tag}"), DST_SCHEMA,
+        key_cols=["doc_id"], num_buckets=4,
+    )
+    return src, dst
+
+
+def _merge(spark, src, rows, lsn0, batch_id):
+    df = spark.createDataFrame(
+        [(d, t, s, lsn0 + i, op) for i, (d, t, s, op) in enumerate(rows)],
+        "doc_id long, text string, score long, lsn long, op string",
+    )
+    src.merge(df, batch_id=batch_id)
+
+
+def _expected(src):
+    return (
+        _transform(src.snapshot()).filter(_gate())
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _got(dst):
+    return (
+        dst.snapshot().toPandas().sort_values("doc_id").reset_index(drop=True)
+        [["doc_id", "text_upper", "score"]]
+    )
+
+
+def test_incremental_sync_equals_full_recompute(spark, tmp_path):
+    src, dst = _tables(spark, tmp_path, "a")
+    # batch 1: two gate-passing rows, one failing
+    _merge(spark, src, [(1, "a", 50, "U"), (2, "b", 5, "U"), (3, "c", 30, "U")],
+           100, "b1")
+    ci = sync_derived(src, dst, transform=_transform, gate=_gate())
+    assert ci is not None and not ci.skipped
+    pd.testing.assert_frame_equal(_got(dst), _expected(src))
+    assert last_synced_version(dst) == src.current()["version"]
+
+    # batch 2: gate FLIP off (1: 50→2), flip on (2: 5→60), src delete (3)
+    _merge(spark, src, [(1, "a2", 2, "U"), (2, "b2", 60, "U"), (3, "c", 0, "D")],
+           200, "b2")
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+    pd.testing.assert_frame_equal(_got(dst), _expected(src))
+    got_ids = set(_got(dst)["doc_id"])
+    assert got_ids == {2}  # 1 gated out, 3 deleted, 2 gated in
+
+    # batch 3: new key + re-insert of the deleted key
+    _merge(spark, src, [(3, "c3", 99, "U"), (4, "d", 11, "U")], 300, "b3")
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+    pd.testing.assert_frame_equal(_got(dst), _expected(src))
+
+
+def test_sync_is_exactly_once_and_noop_when_current(spark, tmp_path):
+    src, dst = _tables(spark, tmp_path, "b")
+    _merge(spark, src, [(1, "a", 50, "U")], 100, "b1")
+    ci = sync_derived(src, dst, transform=_transform, gate=_gate())
+    assert not ci.skipped
+    # already current → None, no commit
+    assert sync_derived(src, dst, transform=_transform, gate=_gate()) is None
+    v = dst.current()["version"]
+    # a replayed sync of the same range is a ledgered no-op
+    _merge(spark, src, [(2, "b", 20, "U")], 200, "b2")
+    ci2 = sync_derived(src, dst, transform=_transform, gate=_gate())
+    assert not ci2.skipped and dst.current()["version"] == v + 1
+
+
+def test_sync_survives_expired_source_snapshots(spark, tmp_path):
+    """Retention between syncs expires the synced-from version: the
+    fallback full resync must converge, including deleting derivative
+    keys whose source rows vanished while the chain was broken."""
+    src, dst = _tables(spark, tmp_path, "c")
+    _merge(spark, src, [(1, "a", 50, "U"), (2, "b", 40, "U")], 100, "b1")
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+
+    _merge(spark, src, [(1, "a", 0, "D"), (3, "c", 70, "U")], 200, "b2")
+    _merge(spark, src, [(4, "d", 80, "U")], 300, "b3")
+    src.expire_snapshots(keep_last=1)  # the synced-from version is gone
+
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+    pd.testing.assert_frame_equal(_got(dst), _expected(src))
+    assert set(_got(dst)["doc_id"]) == {2, 3, 4}  # 1's delete propagated
+
+
+def test_sync_without_gate_or_transform_mirrors_source(spark, tmp_path):
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src_d"), SRC_SCHEMA, key_cols=["doc_id"],
+        num_buckets=4,
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst_d"), SRC_SCHEMA, key_cols=["doc_id"],
+        num_buckets=4,
+    )
+    _merge(spark, src, [(1, "a", 1, "U"), (2, "b", 2, "U")], 100, "b1")
+    sync_derived(src, dst)
+    _merge(spark, src, [(1, "a", 0, "D"), (3, "c", 3, "U")], 200, "b2")
+    sync_derived(src, dst)
+    exp = src.snapshot().toPandas().sort_values("doc_id").reset_index(drop=True)
+    got = dst.snapshot().toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
