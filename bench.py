@@ -115,6 +115,7 @@ HEADLINE = [
     "code_clone_groups",
     "dedup_semantic",
     "cdc_bootstrap_cutover",
+    "cdc_derived_sync",
 ]
 
 

@@ -26,6 +26,7 @@ def __getattr__(name):
         "IcebergTable": ("datax_spark.iceberg", "IcebergTable"),
         "EpochRegistry": ("datax_spark.schema_evolution", "EpochRegistry"),
         "run_job": ("datax_spark.job", "run_job"),
+        "sync_derived": ("datax_spark.derived", "sync_derived"),
         "get_spark": ("datax_spark.session", "get_spark"),
     }
     if name in _API:
