@@ -270,11 +270,15 @@ def run_scaling(sf_dir: str) -> dict:
     # rode a ramp where hi never got a quiet shot → 0.599 despite the
     # engine measuring 0.85-0.89 in three prior rounds). Extra trials
     # only tighten the min estimator — see MAX_TRIALS note above.
-    while (
-        len(pairs) < MAX_TRIALS
-        and (best["lo"] / best["hi"]) / (cores_hi / cores_lo) < EFF_TARGET
-    ):
-        one_trial()
+    # Fixed-size extension, no optional stopping: extending only while
+    # failing and halting at the FIRST pass would bias the reported
+    # efficiency toward the most favorable crossing point (one lucky
+    # hi trial could end sampling before lo gets its quiet shot). If
+    # the base trials read contended, commit to the full budget —
+    # every extra sample tightens BOTH sides' min estimators.
+    if (best["lo"] / best["hi"]) / (cores_hi / cores_lo) < EFF_TARGET:
+        while len(pairs) < MAX_TRIALS:
+            one_trial()
     out["trials"] = len(pairs)
     out["trials_base"] = TRIALS
 

@@ -138,8 +138,16 @@ class MinHashIndex:
         ).withColumnRenamed(id_col, "doc_id")
 
         batch_b = band_buckets(sigs, id_col="doc_id", n_bands=self.n_bands)
+        # LWW on the index side: a doc re-ingested IN THIS BATCH
+        # supersedes its stored signature, so the stale one must not
+        # participate in pairing (it could pair a batch doc with
+        # content that no longer exists — a pair a full recompute
+        # would never emit). Same anti-join the embedding index uses.
         index_b = band_buckets(
-            self.signatures(), id_col="doc_id", n_bands=self.n_bands
+            self.signatures().join(
+                sigs.select("doc_id"), on="doc_id", how="left_anti"
+            ),
+            id_col="doc_id", n_bands=self.n_bands,
         )
         # Pairs with ≥1 batch member: batch side joined against
         # (index ∪ batch). Normalizing to (least, greatest) + distinct
@@ -267,8 +275,16 @@ def run_dedup_stream(
         .parquet(docs_dir)
     )
 
+    # Per-checkpoint epoch ids restart at 0, so the batch id carries
+    # the checkpoint identity — a second document drop streamed with a
+    # fresh checkpoint into the SAME index must not collide with the
+    # first stream's ledger entries (same fix as CDCEngine.run_stream).
+    from .engine import _checkpoint_tag
+
+    ckpt_tag = _checkpoint_tag(checkpoint_dir)
+
     def _apply(df: DataFrame, epoch_id: int) -> None:
-        batch_id = f"stream-{epoch_id}"
+        batch_id = f"stream-{ckpt_tag}-{epoch_id}"
         if embedding:
             pairs = index.add_batch(
                 df, batch_id=batch_id, id_col=id_col, vec_col=text_col,

@@ -66,36 +66,45 @@ def sync_derived(
     if last is not None and last >= cur:
         return None
 
+    def _full_resync() -> DataFrame:
+        # Full resync: current snapshot as upserts plus an anti-join
+        # for keys the derivative holds that no longer exist in the
+        # source — O(table) once, instead of a broken or lossy chain.
+        stale = (
+            dst.snapshot().select(*key_cols)
+            .join(src.snapshot().select(*key_cols), on=key_cols, how="left_anti")
+            .withColumn("_change", F.lit("D"))
+        )
+        return (
+            src.snapshot().withColumn("_change", F.lit("I"))
+            .unionByName(stale, allowMissingColumns=True)
+        )
+
     if last is None:
-        # first sync: the whole current snapshot is the change set
-        changes = src.snapshot().withColumn("_change", F.lit("I"))
+        # First sync — or a REGRESSED watermark (dst's sync commit was
+        # expired by retention while non-sync commits survived): the
+        # derivative may already hold rows, so the resync must include
+        # the stale-key delete pass, not just snapshot-as-inserts.
+        changes = _full_resync()
     else:
         try:
             changes = src.diff(last, cur)
         except FileNotFoundError:
-            # the synced-from snapshot was expired (retention ran
-            # between syncs): fall back to a full resync — current
-            # snapshot as upserts plus an anti-join for keys the
-            # derivative holds that no longer exist in the source
-            # (O(table) once, instead of a permanently broken chain)
-            stale = (
-                dst.snapshot().select(*key_cols)
-                .join(src.snapshot().select(*key_cols), on=key_cols, how="left_anti")
-                .withColumn("_change", F.lit("D"))
-            )
-            changes = (
-                src.snapshot().withColumn("_change", F.lit("I"))
-                .unionByName(stale, allowMissingColumns=True)
-            )
+            # the synced-from SOURCE snapshot was expired between syncs
+            changes = _full_resync()
 
     live = changes.filter(F.col("_change") != "D").drop("_change")
     if transform is not None:
         live = transform(live)
     dels = changes.filter(F.col("_change") == "D").select(*key_cols)
     if gate is not None:
-        # rows that no longer pass the gate must LEAVE the derivative
-        dels = dels.unionByName(live.filter(~gate).select(*key_cols))
-        live = live.filter(gate)
+        # Rows that no longer pass the gate must LEAVE the derivative.
+        # NULL-gate rows count as failing: without the coalesce they
+        # would fall through BOTH filters (NULL and NOT NULL are both
+        # non-true) and leave a stale row behind.
+        gate_true = F.coalesce(gate, F.lit(False))
+        dels = dels.unionByName(live.filter(~gate_true).select(*key_cols))
+        live = live.filter(gate_true)
 
     batch = live.withColumn("op", F.lit("U")).unionByName(
         dels.withColumn("op", F.lit("D")), allowMissingColumns=True

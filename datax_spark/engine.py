@@ -27,6 +27,22 @@ from .table import CommitInfo, SnapshotTable
 from .transforms import ErrorLimit, TransformPipeline, quarantine
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Exact row count from the parquet footer — metadata-only read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _checkpoint_tag(checkpoint_dir: str) -> str:
+    """Stable short identity for a streaming checkpoint — goes into
+    stream batch ids so ledgers distinguish different streams into the
+    same table (per-checkpoint epoch ids restart at 0)."""
+    import hashlib
+
+    return hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:8]
+
+
 def _normalize_source_path(src: str) -> str:
     """Lineage records input_file_name() URIs (file:///…); retention
     compares against local paths — normalize both to absolute paths."""
@@ -247,31 +263,43 @@ class CDCEngine:
 
     # ----------------------------------------------------- WAL retention
 
-    def applied_sources(self) -> set[str]:
-        """Source files fully applied to the table, from committed
-        lineage. A WAL file appears in lineage iff a committed batch
-        consumed ALL of its rows (file sources deliver whole files per
-        micro-batch; quarantine-diverted rows are persisted before the
-        commit), so presence == safe to retire. snapshot:* pseudo
-        sources are excluded — they aren't files."""
-        out = set()
+    def applied_sources(self) -> dict[str, int]:
+        """Per source file, the LARGEST row count any single committed
+        batch consumed from it (lineage rows are counted on the raw
+        pre-transform batch, so quarantine-diverted rows still count
+        as consumed). snapshot:/quarantine:/derived: pseudo sources
+        are excluded — they aren't WAL files."""
+        out: dict[str, int] = {}
         for e in self.table.lineage():
             src = e.get("source") or ""
-            if src and not src.startswith(("snapshot:", "quarantine:")):
-                out.add(_normalize_source_path(src))
+            if not src or src.startswith(("snapshot:", "quarantine:", "derived:")):
+                continue
+            p = _normalize_source_path(src)
+            rows = e.get("rows") or 0
+            out[p] = max(out.get(p, 0), rows)
         return out
 
     def archivable_segments(self, wal_dir: str) -> list[str]:
         """WAL segment files under wal_dir that committed lineage
-        proves fully applied — the retention candidates. At 10^10
-        events the WAL outgrows any disk unless retired; this is the
-        lineage-driven safe set (an unapplied or half-arrived segment
-        is never listed)."""
+        proves FULLY applied — the retention candidates. At 10^10
+        events the WAL outgrows any disk unless retired.
+
+        'Fully' is enforced, not assumed: a batch built from a
+        FILTERED read of a segment (the bootstrap-cutover shape) still
+        records the file in lineage, so presence alone is not proof.
+        A parquet segment qualifies only when some single committed
+        batch's lineage rows equal the file's footer row count (whole
+        files through the streaming source always do). Non-parquet
+        segments have no cheap exact count and are never listed —
+        archive json/csv WALs by transcoding or by operator policy."""
         applied = self.applied_sources()
         out = []
         for name in sorted(os.listdir(wal_dir)):
             p = os.path.join(wal_dir, name)
-            if os.path.isfile(p) and os.path.abspath(p) in applied:
+            if not os.path.isfile(p) or not name.endswith(".parquet"):
+                continue
+            best = applied.get(os.path.abspath(p))
+            if best is not None and best >= _parquet_num_rows(p):
                 out.append(p)
         return out
 
@@ -395,8 +423,16 @@ class CDCEngine:
             stream = stream.option("maxFilesPerTrigger", str(max_files_per_trigger))
         stream = getattr(stream, wal_format)(wal_dir)
 
+        # Batch ids carry the CHECKPOINT identity, not just the epoch:
+        # epoch ids restart at 0 per checkpoint, so a later stream with
+        # a fresh checkpoint into the same table would collide with the
+        # first stream's ledger entries and silently no-op its opening
+        # micro-batches. Same checkpoint → same ids → exactly-once
+        # resume still holds.
+        ckpt_tag = _checkpoint_tag(checkpoint_dir)
+
         def _apply(df: DataFrame, epoch_id: int) -> None:
-            ci = self.apply_batch(df, batch_id=f"stream-{epoch_id}")
+            ci = self.apply_batch(df, batch_id=f"stream-{ckpt_tag}-{epoch_id}")
             if on_batch is not None:
                 on_batch(ci, epoch_id)
 

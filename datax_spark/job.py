@@ -486,10 +486,14 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
             .withColumn("lsn", F.lit(wm).cast("long"))
             .withColumn("op", F.lit("I"))
         )
+        # rows: -1 sentinel (same convention as derived.py lineage) —
+        # a df.count() here would re-scan the ENTIRE full load purely
+        # for a metadata integer; the observe() counters on the job
+        # result already carry the real row count.
         result.commit = table.merge(
             df, batch_id=batch_id,
             lineage=[{"source": f"snapshot:{batch_id}", "min_lsn": wm,
-                      "max_lsn": wm, "rows": df.count()}],
+                      "max_lsn": wm, "rows": -1}],
         )
         return
     if "lsn" not in df.columns:

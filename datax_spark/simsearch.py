@@ -269,6 +269,15 @@ def lsh_ann_topk(
 # -------------------------------------------------------------------- IVF
 
 
+def _seed_centroids(df: DataFrame, n_centroids: int, id_col: str, vec_col: str) -> DataFrame:
+    """Deterministic seed set: the K smallest ids (TakeOrdered, K is
+    small). Literally "the first K ids" — robust to SPARSE or hashed
+    id spaces, where a `id < K` filter would select few or zero seeds
+    and silently degrade the index. On dense 0..N ids (the testdata
+    and every oracle) the two forms pick the identical set."""
+    return df.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -329,7 +338,7 @@ def ivf_train(
     this trainer is the production build step on real corpora."""
     if n_centroids is None:
         n_centroids = size_ivf_centroids(df.count())
-    cent = df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+    cent = _seed_centroids(df, n_centroids, id_col, vec_col)
     for _ in range(n_iters):
         assign = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col)
         unit = (
@@ -385,7 +394,7 @@ def ivf_ann_topk(
     if centroids is None:
         if n_centroids is None:
             n_centroids = size_ivf_centroids(df.count())
-        centroids = df.filter(F.col(id_col) < n_centroids)
+        centroids = _seed_centroids(df, n_centroids, id_col, vec_col)
     assign = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     base = df.select(
         F.col(id_col), as_double(vec_col).alias("_v"),
@@ -575,7 +584,7 @@ def semantic_dedup(
     if centroids is None:
         if n_centroids is None:
             n_centroids = size_ivf_centroids(df.count())
-        centroids = df.filter(F.col(id_col) < n_centroids).select(id_col, vec_col)
+        centroids = _seed_centroids(df, n_centroids, id_col, vec_col)
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
     v = df.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_v"),

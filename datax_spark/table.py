@@ -443,7 +443,16 @@ class SnapshotTable:
             .when(F.col(f"n_{k0}").isNull(), F.lit("D"))
             .when(F.col("o_lsn") != F.col("n_lsn"), F.lit("U"))
         )
-        picked = [F.coalesce(F.col(f"n_{c}"), F.col(f"o_{c}")).alias(c) for c in data_cols]
+        # Pick the payload side per ROW, not per column: a per-column
+        # coalesce(n, o) would silently resurrect the OLD value for any
+        # column the new image legitimately set to NULL. The row exists
+        # on the new side iff its key is non-null there (I/U) — take
+        # the n_ columns wholesale; only deletes fall back to o_.
+        new_side = F.col(f"n_{k0}").isNotNull()
+        picked = [
+            F.when(new_side, F.col(f"n_{c}")).otherwise(F.col(f"o_{c}")).alias(c)
+            for c in data_cols
+        ]
         return (
             j.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())

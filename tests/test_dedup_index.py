@@ -85,6 +85,30 @@ def test_signature_replacement_on_reingest(spark, tmp_path):
     assert _pairs_set(p2) == {(1, 3)}
 
 
+def test_same_batch_reingest_never_pairs_against_stale_signature(spark, tmp_path):
+    """A batch that BOTH re-ingests doc 1 with new content AND adds a
+    doc 2 similar to doc 1's OLD content must not emit (1, 2): the
+    stored signature is superseded by the in-batch one (LWW), so the
+    index side is anti-joined before pairing — a pair a full recompute
+    of the current contents would never produce."""
+    idx = MinHashIndex.create(spark, str(tmp_path / "idx6"), n_bands=4, k=8, stride=4)
+    t_old = "the quick brown fox jumps over the lazy dog " * 3
+    t_new = "completely different content with no shared shingles at all " * 3
+    idx.add_batch(spark.createDataFrame([(1, t_old)], "doc_id long, text string"), "b0")
+    p = idx.add_batch(
+        spark.createDataFrame(
+            [(1, t_new), (2, t_old + "tail")], "doc_id long, text string"
+        ),
+        "b1",
+    )
+    assert _pairs_set(p) == set()  # (1,2) would be a stale-signature pair
+    # and the CURRENT content is what the index now matches
+    p2 = idx.add_batch(
+        spark.createDataFrame([(3, t_new + "tail")], "doc_id long, text string"), "b2"
+    )
+    assert _pairs_set(p2) == {(1, 3)}
+
+
 def test_remove_docs_stops_matching(spark, tmp_path):
     idx = MinHashIndex.create(spark, str(tmp_path / "idx5"), n_bands=4, k=8, stride=4)
     t = "some document text that will be retired from the corpus " * 3

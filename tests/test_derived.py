@@ -142,3 +142,31 @@ def test_sync_without_gate_or_transform_mirrors_source(spark, tmp_path):
     exp = src.snapshot().toPandas().sort_values("doc_id").reset_index(drop=True)
     got = dst.snapshot().toPandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_null_gate_rows_are_deleted_not_stranded(spark, tmp_path):
+    """A source update that makes the gate expression NULL must remove
+    the row from the derivative: NULL is neither true nor NOT-true, so
+    without coalescing it would escape both the upsert and the delete
+    branch and leave the stale pre-update row behind forever."""
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src_n"), SRC_SCHEMA, key_cols=["doc_id"],
+        num_buckets=4,
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst_n"), DST_SCHEMA, key_cols=["doc_id"],
+        num_buckets=4,
+    )
+    _merge(spark, src, [(1, "a", 50, "U")], 100, "b1")
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+    assert set(_got(dst)["doc_id"]) == {1}
+
+    # score -> NULL: gate evaluates NULL
+    df = spark.createDataFrame(
+        [(1, "a2", None, 200, "U")],
+        "doc_id long, text string, score long, lsn long, op string",
+    )
+    src.merge(df, batch_id="b2")
+    sync_derived(src, dst, transform=_transform, gate=_gate())
+    assert _got(dst).empty
+    pd.testing.assert_frame_equal(_got(dst), _expected(src))

@@ -643,6 +643,31 @@ def test_wal_retention_archives_only_applied_segments(spark, wal_fixture, tmp_pa
             shutil.move(p, os.path.join(wal_fixture.wal_dir, os.path.basename(p)))
 
 
+def test_partially_applied_segment_is_not_archivable(spark, wal_fixture, tmp_path):
+    """A batch built from a FILTERED read of a segment records the
+    file in lineage but did not consume all its rows — retention must
+    refuse it until some batch applies the whole file."""
+    import glob
+    import os
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    seg0 = sorted(glob.glob(os.path.join(wal_fixture.wal_dir, "*.parquet")))[0]
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "partial"), reg.schema_for(0),
+        key_cols=reg.key_cols, num_buckets=8,
+    )
+    eng = CDCEngine(spark, t, reg)
+    eng.apply_batch(
+        spark.read.parquet(seg0).filter(F.col("lsn") % 2 == 0), batch_id="half"
+    )
+    assert eng.archivable_segments(wal_fixture.wal_dir) == []
+    eng.apply_batch(spark.read.parquet(seg0), batch_id="whole")
+    assert eng.archivable_segments(wal_fixture.wal_dir) == [os.path.abspath(seg0)]
+
+
 def test_wal_retention_safe_under_checkpointed_stream(spark, wal_fixture, tmp_path):
     """The 'safe under a live tail' retention claim: stream two
     micro-batches, ARCHIVE the segments the stream already applied,

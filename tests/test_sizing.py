@@ -206,3 +206,18 @@ def test_semantic_dedup_dropped_ids_subset_of_exact_pairs(spark):
     }
     # cell blocking only ever REDUCES the prune set vs all-pairs
     assert dropped <= exact_b
+
+
+def test_semantic_dedup_handles_sparse_hashed_ids(spark):
+    """Hashed/sparse id spaces: every id >> n_centroids. The seed set
+    is the K SMALLEST ids (not `id < K`, which would match nothing and
+    silently drop the whole corpus)."""
+    base = 10**12
+    df = _vec_df(spark, [
+        (base + 1, [1.0, 0.0, 0.0]),
+        (base + 2, [2.0, 0.0, 0.0]),   # dup of +1
+        (base + 3, [0.0, 1.0, 0.0]),
+    ])
+    out = simsearch.semantic_dedup(df, threshold=0.9, n_centroids=1)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert got == {base + 1: True, base + 2: False, base + 3: True}
