@@ -499,6 +499,12 @@ def run_headline(sf_dir: str) -> tuple[dict, float, dict]:
 
     times: dict[str, float] = {}
     total = 0.0
+    # DATAX_BENCH_HEADLINE=0 keeps the warmup + calibration but skips
+    # the per-query loop — for scaling-only re-measures in a different
+    # host window.
+    if os.environ.get("DATAX_BENCH_HEADLINE", "1") == "0":
+        spark.stop()
+        return times, total, calibration
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.monotonic()
