@@ -39,14 +39,14 @@ from .table import CommitInfo, SnapshotTable
 
 
 def last_synced_version(dst: SnapshotTable) -> int | None:
-    """The source version the destination is current through, from
-    commit metrics (None = never synced)."""
-    best = None
-    for c in dst.history():
-        v = (c.get("metrics") or {}).get("src_version")
-        if v is not None:
-            best = v if best is None else max(best, v)
-    return best
+    """The source version the destination is current through (None =
+    never synced). Reads the compacted ledger summary — which folds
+    metrics.src_version across ALL commits, including ones later
+    expired by retention (expire_snapshots compacts first) — so the
+    watermark can no longer regress to None when the sync commit ages
+    out of retained history, and a resync at an unchanged src version
+    stays the cheap ledgered no-op instead of a repeated full-resync."""
+    return dst.ledger_summary()["max_src_version"]
 
 
 def sync_derived(

@@ -45,13 +45,24 @@ def _checkpoint_tag(checkpoint_dir: str) -> str:
 
 def _normalize_source_path(src: str) -> str:
     """Lineage records input_file_name() URIs (file:///…); retention
-    compares against local paths — normalize both to absolute paths."""
+    compares against local paths — normalize both to absolute paths.
+    A file: URI with a non-empty AUTHORITY (file://host/path — a
+    remote-host reference) is passed through UNMODIFIED: stripping it
+    into '/host/path' could credit a local WAL file with lineage rows
+    read from a remote host of the same path shape, letting
+    archive_wal delete an unapplied local segment."""
     if src.startswith("file:"):
-        src = src[5:]
-        while src.startswith("//") and not src.startswith("///"):
-            src = src[1:]
-        if src.startswith("///"):
-            src = src[2:]
+        rest = src[5:]
+        if rest.startswith("//") and not rest.startswith("///"):
+            # file://authority/path — authority-bearing; only the empty
+            # or 'localhost' authority is this machine.
+            authority, _, path = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                return src
+            rest = "/" + path
+        elif rest.startswith("///"):
+            rest = rest[2:]
+        src = rest
     return os.path.abspath(src) if src.startswith("/") else src
 
 
@@ -256,6 +267,11 @@ class CDCEngine:
             df = df.withColumn("lsn", F.lit(int(snapshot_lsn)).cast("long"))
         elif lsn_col != "lsn":
             df = df.withColumn("lsn", F.col(lsn_col).cast("long")).drop(lsn_col)
+        else:
+            # cast even the already-named column: an int32/string lsn in
+            # the dump must not flow uncast into LWW comparisons against
+            # long tombstone lsns.
+            df = df.withColumn("lsn", F.col("lsn").cast("long"))
         df = df.withColumn("op", F.lit("I")).withColumn(
             "_source_file", F.lit(f"snapshot:{batch_id}")
         )
@@ -268,16 +284,66 @@ class CDCEngine:
         batch consumed from it (lineage rows are counted on the raw
         pre-transform batch, so quarantine-diverted rows still count
         as consumed). snapshot:/quarantine:/derived: pseudo sources
-        are excluded — they aren't WAL files."""
+        are excluded — they aren't WAL files.
+
+        Reads the table's compacted ledger summary (one file + the
+        short post-compaction commit tail), NOT a full history walk —
+        and since expire_snapshots folds lineage into the summary
+        before dropping commits, retention proofs survive history
+        pruning (pre-r5 they silently vanished with expired commits)."""
         out: dict[str, int] = {}
-        for e in self.table.lineage():
-            src = e.get("source") or ""
+        for src, rows in self.table.ledger_summary()["applied_sources"].items():
             if not src or src.startswith(("snapshot:", "quarantine:", "derived:")):
                 continue
             p = _normalize_source_path(src)
-            rows = e.get("rows") or 0
             out[p] = max(out.get(p, 0), rows)
         return out
+
+    def prunable_batch_ids(self) -> set[str]:
+        """Batch ids past the replay low-watermark: every lineage
+        source of the batch is a real local WAL file that NO LONGER
+        EXISTS (retired by archive_wal / operator deletion), so the
+        streaming source can never redeliver it and the exactly-once
+        ledger need not remember it. Conservative by construction:
+        batches with pseudo sources (snapshot:/quarantine:/derived: —
+        re-runnable by an operator at any time) or whose per-batch
+        lineage has already been expired from history are never listed.
+        Run BEFORE expire_snapshots to catch the most ids."""
+        by_batch: dict[str, list[str]] = {}
+        for c in self.table.history():
+            if c.get("batch_id") is None:
+                continue
+            by_batch.setdefault(c["batch_id"], []).extend(
+                e.get("source") or "" for e in c.get("lineage", [])
+            )
+        out = set()
+        for bid, sources in by_batch.items():
+            if not sources:
+                continue
+            gone = []
+            for src in sources:
+                if not src or src.startswith(("snapshot:", "quarantine:", "derived:")):
+                    gone.append(False)
+                    continue
+                p = _normalize_source_path(src)
+                gone.append(os.path.isabs(p) and not os.path.exists(p))
+            if all(gone):
+                out.add(bid)
+        return out
+
+    def prune_ledger(self) -> int:
+        """Compact the ledger dropping every prunable batch id (see
+        prunable_batch_ids). Returns the number pruned (0 → no commit
+        written). Part of the same maintenance cadence as archive_wal +
+        expire_snapshots + vacuum: keeps the exactly-once ledger's size
+        proportional to the LIVE replay window, not table lifetime."""
+        # intersect with the live ledger: an id already pruned (but
+        # whose lineage commit is still retained) must not trigger a
+        # fresh compaction commit on every maintenance pass
+        ids = self.prunable_batch_ids() & self.table.committed_batch_ids()
+        if ids:
+            self.table.compact_ledger(prune=ids)
+        return len(ids)
 
     def archivable_segments(self, wal_dir: str) -> list[str]:
         """WAL segment files under wal_dir that committed lineage
@@ -405,6 +471,7 @@ class CDCEngine:
         on_batch=None,
         wal_format: str = "parquet",
         max_bytes_per_trigger: int | None = None,
+        accept_legacy_batch_ids: bool = False,
     ):
         """Tail the WAL directory. available_now=True drains everything
         currently present then stops (bounded replay); restart with the
@@ -429,10 +496,29 @@ class CDCEngine:
         # first stream's ledger entries and silently no-op its opening
         # micro-batches. Same checkpoint → same ids → exactly-once
         # resume still holds.
+        #
+        # LEDGER-FORMAT NOTE (r3→r4 break): ids were 'stream-{epoch}'
+        # before the checkpoint tag was added. Resuming a checkpoint
+        # whose ledger was written under the old format would re-apply
+        # the replayed epoch under the new id (CDC stays correct via
+        # LWW, but quarantine subdirs would duplicate). Opt in to
+        # accept_legacy_batch_ids=True for exactly one resume of such a
+        # table; leave it off otherwise — the legacy id is ambiguous
+        # across streams (that ambiguity is WHY the format changed).
         ckpt_tag = _checkpoint_tag(checkpoint_dir)
 
         def _apply(df: DataFrame, epoch_id: int) -> None:
-            ci = self.apply_batch(df, batch_id=f"stream-{ckpt_tag}-{epoch_id}")
+            if (
+                accept_legacy_batch_ids
+                and f"stream-{epoch_id}" in self.table.committed_batch_ids()
+            ):
+                cur = self.table.current()
+                ci = CommitInfo(
+                    cur["version"], cur["snapshot_id"],
+                    f"stream-{epoch_id}", skipped=True,
+                )
+            else:
+                ci = self.apply_batch(df, batch_id=f"stream-{ckpt_tag}-{epoch_id}")
             if on_batch is not None:
                 on_batch(ci, epoch_id)
 

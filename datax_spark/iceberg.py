@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .table import CommitInfo
 
-BATCH_LEDGER_PROP = "datax.batch-ids"
+BATCH_LEDGER_PROP = "datax.batch-ids"          # per-snapshot DELTA
+BATCH_LEDGER_BASE_PROP = "datax.batch-ids-base"  # compacted base (table prop)
 LINEAGE_PROP = "datax.lineage"
 
 
@@ -199,10 +200,29 @@ class IcebergTable:
         }
 
     def committed_batch_ids(self) -> set[str]:
+        """Compacted base (table property — survives snapshot expiry)
+        ∪ per-snapshot DELTAS (summary properties). Mirrors
+        SnapshotTable's r5 ledger shape: each commit carries only its
+        own batch id, never the cumulative list (which would be
+        O(batches²) summary metadata over a long-lived table)."""
         ids: set[str] = set()
+        for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.identifier}").collect():
+            if r["key"] == BATCH_LEDGER_BASE_PROP:
+                ids.update(json.loads(r["value"]))
         for s in self.spark.sql(f"SELECT summary FROM {self.identifier}.snapshots").collect():
             ids.update(json.loads(dict(s["summary"] or {}).get(BATCH_LEDGER_PROP, "[]")))
         return ids
+
+    def compact_ledger(self) -> None:
+        """Fold every snapshot's ledger delta into the table-property
+        base — run BEFORE expire_snapshots so ids on expiring snapshots
+        keep no-oping redeliveries (the property rides the table
+        metadata, which expiry never drops)."""
+        ledger = json.dumps(sorted(self.committed_batch_ids()))
+        self.spark.sql(
+            f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
+            f"('{BATCH_LEDGER_BASE_PROP}'='{ledger}')"
+        )
 
     def lineage(self) -> list[dict]:
         rows = []
@@ -258,7 +278,9 @@ class IcebergTable:
         )
         winners.createOrReplaceTempView("_datax_merge_src")
 
-        ledger = json.dumps(sorted(self.committed_batch_ids() | ({batch_id} if batch_id else set())))
+        # DELTA only — the cumulative set is reconstructed by
+        # committed_batch_ids (base property ∪ snapshot deltas).
+        ledger = json.dumps([batch_id] if batch_id else [])
         props = {
             BATCH_LEDGER_PROP: ledger,
             LINEAGE_PROP: json.dumps(lineage or []),

@@ -184,7 +184,10 @@ w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS
 SELECT repo, path, commit_id, content, sha256(content) AS content_sha256
 FROM w WHERE rn = 1 AND op <> 'D' AND length(content) >= 9
 """,
-    demoted=True,
+    # r5: promoted into the driver gate (VERDICT r4 item 3) — the
+    # engine's production shape deserves a driver-green row;
+    # doc_fingerprint demoted (its §2 row is also exercised by
+    # corpus_clean_pipeline).
 )
 def cdc_derived_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental derived-table maintenance (derived.sync_derived):
@@ -2017,15 +2020,24 @@ def code_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "code_secret_redaction",
     f"""
 WITH {_CODE_CORPUS_SQL},
+s0 AS (SELECT doc_id,
+              len(regexp_extract_all(content, '{codeops.AWS_KEY_RE}')) AS n0,
+              regexp_replace(content, '{codeops.AWS_KEY_RE}',
+                             '{codeops.SECRET_TOKEN}', 'g') AS c0
+       FROM code),
+s1 AS (SELECT doc_id, n0,
+              len(regexp_extract_all(c0, '{codeops.PRIVATE_KEY_RE}')) AS n1,
+              regexp_replace(c0, '{codeops.PRIVATE_KEY_RE}',
+                             '{codeops.SECRET_TOKEN}', 'g') AS c1
+       FROM s0),
+-- each detector counts on the text as the previous detectors left it
+-- (mirrors codeops.secret_count): hex inside a PEM body is not
+-- double-counted, so n_secrets == the number of redaction sites.
 s AS (SELECT doc_id,
-             len(regexp_extract_all(content, '{codeops.AWS_KEY_RE}'))
-             + len(regexp_extract_all(content, '{codeops.PRIVATE_KEY_RE}'))
-             + len(regexp_extract_all(content, '{codeops.HEX_SECRET_RE}')) AS n_secrets,
-             regexp_replace(regexp_replace(regexp_replace(content,
-                 '{codeops.AWS_KEY_RE}', '{codeops.SECRET_TOKEN}', 'g'),
-                 '{codeops.PRIVATE_KEY_RE}', '{codeops.SECRET_TOKEN}', 'g'),
-                 '{codeops.HEX_SECRET_RE}', '{codeops.SECRET_TOKEN}', 'g') AS redacted
-      FROM code)
+             n0 + n1 + len(regexp_extract_all(c1, '{codeops.HEX_SECRET_RE}')) AS n_secrets,
+             regexp_replace(c1, '{codeops.HEX_SECRET_RE}',
+                            '{codeops.SECRET_TOKEN}', 'g') AS redacted
+      FROM s1)
 SELECT doc_id, CAST(n_secrets AS BIGINT) AS n_secrets,
        sha256(redacted) AS redacted_sha
 FROM s WHERE n_secrets > 0
@@ -2179,6 +2191,9 @@ SELECT doc_id,
          AS fingerprint
 FROM z GROUP BY doc_id
 """,
+    demoted=True,  # r5: slot freed for cdc_derived_sync — the §2
+    # fingerprint row stays exercised by corpus_clean_pipeline and the
+    # pytest oracle on this demoted twin.
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -3358,7 +3373,8 @@ _GATE_ORDER = [
     # CDC engine core (the north rule)
     "cdc_replay_events", "cdc_merge_incremental", "cdc_lineage",
     "cdc_snapshot_diff", "cdc_point_lookup", "schema_evolution_replay",
-    "cdc_time_travel", "cdc_lww_dedup_pandas", "udf_sha_parity",
+    "cdc_time_travel", "cdc_derived_sync", "cdc_lww_dedup_pandas",
+    "udf_sha_parity",
     # Structured Streaming surface (only family with no batch twin)
     "stream_windowed_counts", "stream_dedup_exactly_once",
     "stream_stream_interval_join", "stream_stateful_audit",
@@ -3382,7 +3398,7 @@ _GATE_ORDER = [
     "dedup_ngram_jaccard", "token_top_terms", "lang_id_ngram",
     "text_quality_score", "text_tfidf_rank", "text_entropy_bucket",
     "text_normalize_pii",
-    "doc_fingerprint", "text_word_bigrams", "corpus_clean_pipeline",
+    "text_word_bigrams", "corpus_clean_pipeline",
 ]
 
 assert len(_GATE_ORDER) == 50, f"gate order lists {len(_GATE_ORDER)} entries"

@@ -14,10 +14,26 @@ same semantics live behind this small backend:
     table — the property that makes this viable at 100 TB.
   * commits: one JSON file per snapshot, created by atomic os.rename,
     recording parent, manifest (bucket → data dir), schema (versioned,
-    evolvable), the cumulative batch-id ledger (exactly-once: replayed
+    evolvable), the batch-id ledger DELTA (exactly-once: replayed
     micro-batch → no-op), per-partition lineage, and metrics. Lineage
     lives INSIDE the commit record so a crash can never separate them
     (SURVEY.md §7.3).
+  * ledger: the exactly-once batch-id set is NOT serialized
+    cumulatively into every commit (that is O(batches²) metadata over
+    a long-running table's life — at one micro-batch per second a
+    year-old table would carry ~31M ids in every commit record).
+    Instead each commit carries a short `ledger_tail` (ids since the
+    last compaction) plus a pointer `ledger_base` to an immutable
+    compacted summary file under _ledger/; when the tail exceeds
+    `ledger_compact_threshold` the merge folds base+tail into a new
+    summary and resets the tail — commit-record size stays O(threshold)
+    forever. The summary also folds per-source applied-row maxima and
+    the derived-sync watermark, so WAL retention (engine.applied_
+    sources) and derived.last_synced_version read ONE file instead of
+    walking full history, and expire_snapshots auto-compacts first so
+    history pruning never weakens exactly-once, retention proofs, or
+    the watermark. Batch ids whose WAL segments are retired are past
+    the replay low-watermark and prunable via compact_ledger(prune=…).
   * reads: latest (or time-travel) snapshot, each data dir aligned to
     the current schema (add/drop/retype evolution without rewrite).
 
@@ -81,11 +97,19 @@ class CommitInfo:
 class SnapshotTable:
     """Transactional upsert table keyed on `key_cols`, ordered by lsn."""
 
+    # Tail length that triggers inline ledger compaction during merge.
+    # Amortized cost: one O(ledger) summary rewrite every N commits,
+    # O(threshold) commit-record metadata always.
+    ledger_compact_threshold: int = 64
+
     def __init__(self, spark: SparkSession, location: str):
         self.spark = spark
         self.location = location
         self._commits_dir = os.path.join(location, "_commits")
         self._data_dir = os.path.join(location, "data")
+        self._ledger_dir = os.path.join(location, "_ledger")
+        # base summaries are immutable per path → cache by path
+        self._ledger_cache: tuple[str | None, dict] | None = None
 
     # ---------- lifecycle ----------
 
@@ -109,7 +133,8 @@ class SnapshotTable:
                 "snapshot_id": uuid.uuid4().hex[:16],
                 "parent": None,
                 "batch_id": None,
-                "batch_ids": [],
+                "ledger_base": None,
+                "ledger_tail": [],
                 "schema": schema.jsonValue(),
                 "schema_version": 0,
                 "key_cols": list(key_cols),
@@ -146,6 +171,8 @@ class SnapshotTable:
 
     def _write_commit(self, version: int, record: dict) -> None:
         record["version"] = version
+        if "ledger_tail" in record:  # drop the legacy cumulative field
+            record.pop("batch_ids", None)
         tmp = os.path.join(self._commits_dir, f".tmp-{uuid.uuid4().hex}.json")
         final = os.path.join(self._commits_dir, f"v{version:012d}.json")
         with open(tmp, "w") as f:
@@ -179,8 +206,134 @@ class SnapshotTable:
     def key_cols(self) -> list[str]:
         return self.current()["key_cols"]
 
+    # ---------- ledger (exactly-once + retention summary) ----------
+
+    @staticmethod
+    def _ledger_tail_of(commit: dict) -> list[str]:
+        """Tail ids of a commit record; legacy records (pre-r5 format,
+        cumulative `batch_ids`) read as base=None + full-list tail, so
+        old tables keep exactly-once semantics and migrate to the
+        compacted format on their first new merge/compaction."""
+        if "ledger_tail" in commit:
+            return list(commit["ledger_tail"])
+        return list(commit.get("batch_ids", []))
+
+    def _load_ledger_base(self, commit: dict) -> dict:
+        """The compacted summary a commit points at (empty when None).
+        Summary files are immutable per path — cached per instance."""
+        empty = {"as_of_version": -1, "batch_ids": [],
+                 "applied_sources": {}, "max_src_version": None}
+        rel = commit.get("ledger_base")
+        if rel is None:
+            return empty
+        if self._ledger_cache is not None and self._ledger_cache[0] == rel:
+            return self._ledger_cache[1]
+        with open(os.path.join(self.location, rel)) as f:
+            base = json.load(f)
+        self._ledger_cache = (rel, base)
+        return base
+
     def committed_batch_ids(self) -> set[str]:
-        return set(self.current()["batch_ids"])
+        cur = self.current()
+        return set(self._load_ledger_base(cur)["batch_ids"]) | set(
+            self._ledger_tail_of(cur)
+        )
+
+    def ledger_summary(self) -> dict:
+        """Current ledger view folded up to the latest commit:
+        {batch_ids: set, applied_sources: {source: max rows any single
+        committed batch consumed}, max_src_version}. applied_sources
+        and max_src_version fold the compacted base with the lineage/
+        metrics of retained commits NEWER than the base — O(threshold)
+        file reads between compactions, never a full-history walk."""
+        cur = self.current()
+        base = self._load_ledger_base(cur)
+        out = {
+            "batch_ids": set(base["batch_ids"]) | set(self._ledger_tail_of(cur)),
+            "applied_sources": dict(base.get("applied_sources", {})),
+            "max_src_version": base.get("max_src_version"),
+        }
+        for c in self._commits_since(base["as_of_version"], cur["version"]):
+            self._fold_commit_into(out, c)
+        return out
+
+    @staticmethod
+    def _fold_commit_into(summary: dict, commit: dict) -> None:
+        for e in commit.get("lineage", []):
+            src = e.get("source")
+            rows = e.get("rows") or 0
+            if src:
+                cur = summary["applied_sources"].get(src, 0)
+                summary["applied_sources"][src] = max(cur, rows)
+        sv = (commit.get("metrics") or {}).get("src_version")
+        if sv is not None:
+            mv = summary["max_src_version"]
+            summary["max_src_version"] = sv if mv is None else max(mv, sv)
+
+    def _commits_since(self, after_version: int, up_to: int) -> Iterable[dict]:
+        for i in range(max(0, after_version + 1), up_to + 1):
+            if os.path.exists(os.path.join(self._commits_dir, f"v{i:012d}.json")):
+                yield self._read_commit(i)
+
+    def _write_ledger_base(
+        self,
+        cur: dict,
+        extra_ids: list[str],
+        prune: set[str] | None = None,
+        extra_commit: dict | None = None,
+    ) -> str:
+        """Fold base ∪ retained-lineage-since-base ∪ tail ∪ extra_ids
+        (plus `extra_commit`'s not-yet-written lineage/metrics when the
+        caller is a merge compacting inline) into a NEW immutable
+        summary file (crash before the commit that references it leaves
+        a harmless orphan, reclaimed by vacuum). Returns the relative
+        path; as_of_version is the version of the commit ABOUT to be
+        written (cur.version + 1)."""
+        summary = self.ledger_summary()
+        if extra_commit is not None:
+            self._fold_commit_into(summary, extra_commit)
+        ids = summary["batch_ids"] | set(extra_ids)
+        if prune:
+            ids -= set(prune)
+        os.makedirs(self._ledger_dir, exist_ok=True)
+        rel = f"_ledger/L{cur['version'] + 1:012d}-{uuid.uuid4().hex[:8]}.json"
+        with open(os.path.join(self.location, rel), "w") as f:
+            json.dump(
+                {
+                    "as_of_version": cur["version"] + 1,
+                    "batch_ids": sorted(ids),
+                    "applied_sources": summary["applied_sources"],
+                    "max_src_version": summary["max_src_version"],
+                },
+                f,
+            )
+        return rel
+
+    def compact_ledger(self, prune: Iterable[str] | None = None) -> CommitInfo:
+        """Metadata-only commit that folds the full ledger view into a
+        fresh compacted summary (tail → []). `prune` drops batch ids
+        that are past the replay low-watermark — ids whose source WAL
+        segments were retired can never be redelivered by the stream,
+        so the ledger need not remember them (engine.prune_ledger
+        computes that set). Run by expire_snapshots automatically so
+        history pruning never loses ledger/retention/watermark state."""
+        cur = self.current()
+        prune_set = set(prune or ())
+        rel = self._write_ledger_base(cur, extra_ids=[], prune=prune_set)
+        v = cur["version"] + 1
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "ledger_base": rel,
+            "ledger_tail": [],
+            "lineage": [],
+            "metrics": {"ledger_compaction": True,
+                        **({"pruned": len(prune_set)} if prune_set else {})},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], None)
 
     def history(self) -> list[dict]:
         """All RETAINED commit records, oldest first (expired snapshots
@@ -206,15 +359,24 @@ class SnapshotTable:
     # ---------- maintenance ----------
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
-        """Drop commit records older than the newest `keep_last`,
-        preserving the cumulative batch-id ledger and lineage (both are
-        carried forward in every commit, so history pruning never
-        weakens exactly-once or provenance). Time travel to expired
-        versions stops working — Iceberg's expire_snapshots contract."""
+        """Drop commit records older than the newest `keep_last`. The
+        ledger (exactly-once ids, per-source applied-row maxima for WAL
+        retention, derived-sync watermark) is auto-compacted FIRST when
+        any about-to-expire commit postdates the current compacted
+        base, so history pruning never weakens exactly-once, retention
+        proofs, or the watermark. Time travel to expired versions stops
+        working — Iceberg's expire_snapshots contract."""
         v = self._latest_version()
         if v is None:
             return []
         cutoff = max(0, v - keep_last + 1)
+        if cutoff > 0:
+            cur = self.current()
+            base_as_of = self._load_ledger_base(cur)["as_of_version"]
+            if base_as_of < cutoff - 1:
+                self.compact_ledger()  # one extra commit; recompute window
+                v = self._latest_version()
+                cutoff = max(0, v - keep_last + 1)
         expired = []
         for i in range(cutoff):
             p = os.path.join(self._commits_dir, f"v{i:012d}.json")
@@ -327,21 +489,31 @@ class SnapshotTable:
         return CommitInfo(v, rec["snapshot_id"], None)
 
     def vacuum(self) -> list[str]:
-        """Delete data dirs no longer referenced by any retained
-        snapshot's manifest. Copy-on-write bucket rewrites strand the
-        superseded bucket dirs; at 10^10-event scale unreferenced data
-        is unbounded growth, so vacuum (after expire_snapshots) is part
-        of normal operation. Never touches referenced dirs."""
+        """Delete data dirs (and compacted-ledger summary files) no
+        longer referenced by any retained snapshot. Copy-on-write
+        bucket rewrites strand the superseded bucket dirs, and each
+        ledger compaction strands the previous summary file; at
+        10^10-event scale unreferenced data is unbounded growth, so
+        vacuum (after expire_snapshots) is part of normal operation.
+        Never touches referenced dirs/files."""
         import shutil
 
         live: set[str] = set()
+        live_ledgers: set[str] = set()
         for c in self.history():
             for entry in c.get("manifest", {}).values():
                 d = entry if isinstance(entry, str) else entry[0]
                 # manifest paths look like data/c<version>/<bucket>=N;
                 # the unit of reclamation is the commit dir.
                 live.add(d.split("/")[1])
+            if c.get("ledger_base"):
+                live_ledgers.add(os.path.basename(c["ledger_base"]))
         removed = []
+        if os.path.isdir(self._ledger_dir):
+            for entry in sorted(os.listdir(self._ledger_dir)):
+                if entry not in live_ledgers:
+                    os.unlink(os.path.join(self._ledger_dir, entry))
+                    removed.append(f"_ledger/{entry}")
         if not os.path.isdir(self._data_dir):
             return removed
         for entry in sorted(os.listdir(self._data_dir)):
@@ -574,7 +746,9 @@ class SnapshotTable:
           WHEN NOT MATCHED THEN INSERT (*, _tombstone=false)
         """
         cur = self.current()
-        if batch_id is not None and batch_id in set(cur["batch_ids"]):
+        if batch_id is not None and batch_id in (
+            set(self._load_ledger_base(cur)["batch_ids"]) | set(self._ledger_tail_of(cur))
+        ):
             return CommitInfo(cur["version"], cur["snapshot_id"], batch_id, skipped=True)
 
         schema = T.StructType.fromJson(cur["schema"])
@@ -704,12 +878,28 @@ class SnapshotTable:
             if b not in written and str(b) in manifest:
                 del manifest[str(b)]
 
+        # Ledger delta: append to the tail; when the tail crosses the
+        # compaction threshold fold everything (incl. THIS commit's id,
+        # lineage and metrics) into a fresh immutable summary and reset
+        # the tail — commit-record size stays O(threshold) regardless
+        # of table age. Legacy (pre-r5 cumulative) records migrate here
+        # for free: their full list reads as the tail and compacts.
+        new_tail = self._ledger_tail_of(cur) + ([batch_id] if batch_id is not None else [])
+        ledger_base = cur.get("ledger_base")
+        if len(new_tail) > self.ledger_compact_threshold:
+            ledger_base = self._write_ledger_base(
+                cur,
+                extra_ids=new_tail,
+                extra_commit={"lineage": lineage or [], "metrics": metrics or {}},
+            )
+            new_tail = []
         rec = {
             **cur,
             "snapshot_id": uuid.uuid4().hex[:16],
             "parent": cur["snapshot_id"],
             "batch_id": batch_id,
-            "batch_ids": cur["batch_ids"] + ([batch_id] if batch_id is not None else []),
+            "ledger_base": ledger_base,
+            "ledger_tail": new_tail,
             "manifest": manifest,
             "lineage": lineage or [],
             "metrics": metrics or {},

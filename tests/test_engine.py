@@ -180,7 +180,7 @@ def test_engine_quarantine_and_error_limit(spark, tmp_path):
     cpath = os.path.join(loc2, "_commits", "v000000000001.json")
     with open(cpath) as f:
         rec = json.load(f)
-    rec["batch_ids"] = []
+    rec["ledger_base"], rec["ledger_tail"] = None, []
     with open(cpath, "w") as f:
         json.dump(rec, f)
     e4 = CDCEngine(spark, SnapshotTable.load(spark, loc2), reg, ok_condition=ok,
@@ -698,3 +698,43 @@ def test_wal_retention_safe_under_checkpointed_stream(spark, wal_fixture, tmp_pa
     finally:
         for p in sorted(glob.glob(os.path.join(dest, "*.parquet"))):
             shutil.move(p, os.path.join(wal_fixture.wal_dir, os.path.basename(p)))
+
+
+def test_legacy_stream_batch_ids_accepted_on_resume(spark, wal_fixture, tmp_path):
+    """r3→r4 ledger-format break (ADVICE r4): stream ids gained a
+    checkpoint tag. Resuming a table whose ledger was written under the
+    old 'stream-{epoch}' format with accept_legacy_batch_ids=True must
+    SKIP the replayed epochs (no duplicate quarantine/pair emissions)
+    instead of re-applying them under the new id."""
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    loc, ckpt = str(tmp_path / "t"), str(tmp_path / "ckpt")
+    t = SnapshotTable.create(
+        spark, loc, reg.schema_for(0), key_cols=reg.key_cols, num_buckets=4
+    )
+    engine = CDCEngine(spark, t, reg)
+    # simulate an old-format run: every segment committed as 'stream-{i}'
+    import os
+
+    segs = sorted(
+        os.path.join(wal_fixture.wal_dir, f)
+        for f in os.listdir(wal_fixture.wal_dir)
+        if f.endswith(".parquet")
+    )
+    for i, seg in enumerate(segs):
+        engine.apply_batch(spark.read.parquet(seg), batch_id=f"stream-{i}")
+    v_before = t.current()["version"]
+
+    # a fresh-checkpoint resume WITH the legacy flag: every epoch skips
+    seen = []
+    q = engine.run_stream(
+        wal_fixture.wal_dir, ckpt, max_files_per_trigger=1,
+        accept_legacy_batch_ids=True,
+        on_batch=lambda ci, e: seen.append(ci.skipped),
+    )
+    q.awaitTermination()
+    assert seen and all(seen), seen
+    assert t.current()["version"] == v_before  # nothing re-applied
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))

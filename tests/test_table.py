@@ -524,7 +524,7 @@ def test_concurrent_commit_atomic_under_true_race(spark, tmp_path):
     results: list[str | None] = [None] * n
 
     def attempt(i: int) -> None:
-        rec = {**base, "batch_ids": [f"writer-{i}"]}
+        rec = {**base, "ledger_tail": [f"writer-{i}"]}
         barrier.wait()
         try:
             t._write_commit(1, rec)
@@ -542,7 +542,7 @@ def test_concurrent_commit_atomic_under_true_race(spark, tmp_path):
     assert results.count("lost") == n - 1
     winner = results.index("won")
     committed = t._read_commit(1)
-    assert committed["batch_ids"] == [f"writer-{winner}"]
+    assert committed["ledger_tail"] == [f"writer-{winner}"]
     # no tmp litter left behind by the losers
     import os
     leftovers = [f for f in os.listdir(os.path.join(loc, "_commits")) if f.startswith(".tmp")]
