@@ -8,10 +8,21 @@ derivative per batch costs O(table); this module maintains it from
 sync), the same incremental philosophy as the engine's own MERGE and
 the dedup index.
 
-Semantics: `dst = transform(rows of src passing gate)`, key-preserving
-row-wise `transform` (project/derive columns; no aggregation — the
-per-key change feed cannot incrementally maintain cross-row state),
-boolean `gate` column expression evaluated on the TRANSFORMED row.
+Two maintenance shapes:
+
+* `sync_derived` — row-wise views: `dst = transform(rows of src
+  passing gate)`, key-preserving `transform` (project/derive columns),
+  boolean `gate` column expression evaluated on the TRANSFORMED row.
+* `sync_derived_agg` (r5) — GROUPED views: `dst = SELECT group_cols,
+  count(*), sum(...) FROM transform(src) WHERE gate GROUP BY
+  group_cols`, maintained by DELTA-AGGREGATION over the change feed:
+  each changed row contributes (+new image, −old image), so an update
+  is −old +new, a delete is −old, and a group whose count reaches 0 is
+  deleted from the derivative. Only self-decomposable aggregates
+  (count / sum — and avg as sum÷count downstream) qualify; min/max
+  need a per-group recompute on retraction and are rejected loudly.
+  Cost per sync: O(changed rows) contributions + a bucket-pruned read
+  of O(changed groups) current values — never a full re-aggregation.
 The subtlety a naive implementation misses: a source UPDATE can flip
 a row OUT of the gate, which must DELETE it from the derivative —
 gate-fail rows become op='D', not silently-skipped rows.
@@ -110,6 +121,130 @@ def sync_derived(
         dels.withColumn("op", F.lit("D")), allowMissingColumns=True
     ).withColumn("lsn", F.lit(int(cur)).cast("long"))
 
+    return dst.merge(
+        batch,
+        batch_id=f"{batch_prefix}-{'' if last is None else last}-{cur}",
+        metrics={"src_version": cur},
+        lineage=[{"source": f"derived:{src.location}@{last}..{cur}",
+                  "min_lsn": int(cur), "max_lsn": int(cur), "rows": -1}],
+    )
+
+
+def sync_derived_agg(
+    src: SnapshotTable,
+    dst: SnapshotTable,
+    aggs: dict[str, tuple],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    gate: Column | None = None,
+    batch_prefix: str = "aggsync",
+) -> CommitInfo | None:
+    """One incremental refresh of a GROUPED derivative (see module
+    docstring). dst is keyed on the group columns (dst.key_cols);
+    `aggs` maps output column → ("count",) | ("sum", <input col>), and
+    must include at least one count — the group-liveness witness that
+    tells the sync when a group has emptied and must be DELETED.
+
+    Invariant (pinned in tests): after any sequence of syncs at any
+    cadence — including delete-heavy streams and gate flips — dst ==
+    full re-aggregation of transform(src.snapshot()).filter(gate).
+    Integer sums/counts match EXACTLY; float sums accumulate the usual
+    re-association drift and should be rounded downstream.
+
+    Exactly-once and watermarking ride the same machinery as
+    sync_derived: batch id from the (from, to) version range, derived
+    lsn = source version, watermark in commit metrics folded into the
+    compacted ledger summary."""
+    group_cols = dst.key_cols
+    count_cols = [name for name, spec in aggs.items() if spec[0] == "count"]
+    if not count_cols:
+        raise ValueError("aggs needs a ('count',) entry — it witnesses group liveness")
+    for name, spec in aggs.items():
+        if spec[0] not in ("count", "sum"):
+            raise ValueError(
+                f"agg {name!r}: {spec[0]!r} is not delta-maintainable "
+                "(only count/sum decompose under retraction; min/max need "
+                "a per-group recompute — use sync_derived on the rows instead)"
+            )
+
+    cur = src.current()["version"]
+    last = last_synced_version(dst)
+    if last is not None and last >= cur:
+        return None
+
+    def _prepared(df: DataFrame) -> DataFrame:
+        if transform is not None:
+            df = transform(df)
+        if gate is not None:
+            df = df.filter(F.coalesce(gate, F.lit(False)))
+        return df
+
+    def _agg_exprs():
+        out = []
+        for name, spec in aggs.items():
+            if spec[0] == "count":
+                out.append(F.count(F.lit(1)).cast("long").alias(name))
+            else:
+                out.append(F.sum(F.col(spec[1])).alias(name))
+        return out
+
+    full = last is None
+    changes = None
+    if not full:
+        try:
+            changes = src.diff(last, cur, include_old=True)
+        except FileNotFoundError:
+            full = True  # the synced-from source snapshot was expired
+
+    if full:
+        fresh = _prepared(src.snapshot()).groupBy(*group_cols).agg(*_agg_exprs())
+        stale = (
+            dst.snapshot().select(*group_cols)
+            .join(fresh.select(*group_cols), on=group_cols, how="left_anti")
+        )
+        batch = fresh.withColumn("op", F.lit("U")).unionByName(
+            stale.withColumn("op", F.lit("D")), allowMissingColumns=True
+        )
+    else:
+        data_cols = [c for c in changes.columns
+                     if c != "_change" and not c.startswith("_old_")]
+        new_rows = changes.filter(F.col("_change") != "D").select(*data_cols)
+        old_rows = changes.filter(F.col("_change") != "I").select(
+            *[F.col(f"_old_{c}").alias(c) for c in data_cols]
+        )
+        contrib = _prepared(new_rows).withColumn("_w", F.lit(1)).unionByName(
+            _prepared(old_rows).withColumn("_w", F.lit(-1))
+        )
+        # per-group deltas: ONE shuffle with map-side partial agg
+        d_exprs = []
+        for name, spec in aggs.items():
+            if spec[0] == "count":
+                d_exprs.append(F.sum(F.col("_w")).cast("long").alias(f"_d_{name}"))
+            else:
+                d_exprs.append(
+                    F.sum(F.col("_w") * F.coalesce(F.col(spec[1]), F.lit(0))).alias(f"_d_{name}")
+                )
+        deltas = contrib.groupBy(*group_cols).agg(*d_exprs)
+        nonzero = None
+        for name in aggs:
+            c = F.coalesce(F.col(f"_d_{name}"), F.lit(0)) != 0
+            nonzero = c if nonzero is None else (nonzero | c)
+        deltas = deltas.filter(nonzero)
+        # current values for ONLY the touched groups (bucket-pruned)
+        cur_vals = dst.snapshot_for_keys(deltas.select(*group_cols))
+        j = deltas.join(cur_vals, on=group_cols, how="left")
+        applied = []
+        for name, spec in aggs.items():
+            zero = F.lit(0).cast("long") if spec[0] == "count" else F.lit(0)
+            applied.append(
+                (F.coalesce(F.col(name), zero) + F.col(f"_d_{name}")).alias(name)
+            )
+        emptied = F.coalesce(F.col(count_cols[0]), F.lit(0)) + F.col(f"_d_{count_cols[0]}") == 0
+        batch = j.select(
+            *group_cols, *applied,
+            F.when(emptied, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        )
+
+    batch = batch.withColumn("lsn", F.lit(int(cur)).cast("long"))
     return dst.merge(
         batch,
         batch_id=f"{batch_prefix}-{'' if last is None else last}-{cur}",

@@ -231,6 +231,56 @@ def cdc_derived_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dst.snapshot()
 
 
+@query(
+    "cdc_derived_agg_sync",
+    f"""
+WITH ev AS ({_EV_SQL}),
+w AS (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY lsn DESC) AS rn FROM ev),
+live AS (SELECT repo, length(content) AS clen FROM w WHERE rn = 1 AND op <> 'D')
+SELECT repo, CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(sum(clen) AS BIGINT) AS sum_len
+FROM live GROUP BY repo
+""",
+    demoted=True,
+)
+def cdc_derived_agg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-capable derived view (derived.sync_derived_agg, r5):
+    a per-repo (count, sum of content length) rollup of the replicated
+    table maintained by DELTA-AGGREGATION over the change feed —
+    updates retract the old image and add the new, deletes retract,
+    emptied groups are deleted — refreshed after each source batch.
+    Oracle = full LWW fold + one-shot GROUP BY on the FINAL state,
+    valid because incremental == full re-aggregation (pinned in
+    test_derived)."""
+    from .derived import sync_derived_agg
+
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    src = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, src, registry)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    mid = changes.agg(((F.min("lsn") + F.max("lsn")) / 2).cast("long")).collect()[0][0]
+
+    dst_schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("n_paths", T.LongType()),
+        T.StructField("sum_len", T.LongType()),
+    ])
+    dst = SnapshotTable.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="datax_q_agg_"), "t"),
+        dst_schema, key_cols=["repo"], num_buckets=8,
+    )
+
+    def xf(df: DataFrame) -> DataFrame:
+        return df.select("repo", F.length("content").alias("clen"))
+
+    aggs = {"n_paths": ("count",), "sum_len": ("sum", "clen")}
+    engine.apply_batch(changes.filter(F.col("lsn") < mid), batch_id="b1")
+    sync_derived_agg(src, dst, aggs, transform=xf)
+    engine.apply_batch(changes.filter(F.col("lsn") >= mid), batch_id="b2")
+    sync_derived_agg(src, dst, aggs, transform=xf)  # true incremental pass
+    return dst.snapshot()
+
+
 @query("cdc_merge_incremental", _CDC_FOLD_SQL)
 def cdc_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two lsn-ordered micro-batches + a verbatim REDELIVERY of batch 2

@@ -581,13 +581,20 @@ class SnapshotTable:
             .drop(LSN_COL, TOMBSTONE_COL)
         )
 
-    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+    def diff(
+        self, v_from: int, v_to: int | None = None, include_old: bool = False
+    ) -> DataFrame:
         """Row-level change feed between two retained snapshots — the
         Iceberg-changelog analogue that lets downstream pipelines chain
         incrementally instead of re-reading the full table. Returns
         `_change ∈ {I,U,D}` + the row (v_to payload for I/U, v_from
         payload for D). One full-outer join on the key, keyed the same
-        as the bucket layout."""
+        as the bucket layout.
+
+        include_old=True additionally emits `_old_<col>` columns — the
+        v_from image (NULL for I rows). Delta-maintained aggregates
+        need BOTH images of an update: the incremental contribution of
+        a U row is (+new, −old)."""
         cur = self.current()
         v_to = cur["version"] if v_to is None else v_to
         commit_to = self._read_commit(v_to)
@@ -625,11 +632,40 @@ class SnapshotTable:
             F.when(new_side, F.col(f"n_{c}")).otherwise(F.col(f"o_{c}")).alias(c)
             for c in data_cols
         ]
+        if include_old:
+            picked += [F.col(f"o_{c}").alias(f"_old_{c}") for c in data_cols]
         return (
             j.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())
             .select("_change", *picked)
         )
+
+    def snapshot_for_keys(self, keys_df: DataFrame) -> DataFrame:
+        """Live rows whose full key appears in `keys_df` — the
+        DataFrame twin of lookup_many: only the bucket IDS are
+        collected driver-side (≤ num_buckets ints), never the keys, so
+        the key set may itself be big data. Scans only the buckets the
+        keys hash to, then semi-joins — the state-fetch path of an
+        incremental aggregate refresh (read O(changed groups), not
+        O(table))."""
+        cur = self.current()
+        key_cols = cur["key_cols"]
+        schema = T.StructType.fromJson(cur["schema"])
+        kd = keys_df.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+        ).distinct()
+        buckets = sorted(
+            r["b"]
+            for r in kd.select(
+                bucket_expr(key_cols, cur["num_buckets"]).alias("b")
+            ).distinct().collect()
+        )
+        df = (
+            self._read_manifest(cur, buckets=buckets)
+            .filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+            .drop(LSN_COL, TOMBSTONE_COL)
+        )
+        return df.join(kd, on=key_cols, how="left_semi")
 
     def lookup(self, key: dict) -> DataFrame:
         """Point lookup by full primary key: hashes the key to its

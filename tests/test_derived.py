@@ -170,3 +170,133 @@ def test_null_gate_rows_are_deleted_not_stranded(spark, tmp_path):
     sync_derived(src, dst, transform=_transform, gate=_gate())
     assert _got(dst).empty
     pd.testing.assert_frame_equal(_got(dst), _expected(src))
+
+
+# ---------------------------------------------------------------- agg
+
+
+AGG_DST_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("sum_score", T.LongType()),
+    ]
+)
+_AGGS = {"n_docs": ("count",), "sum_score": ("sum", "score")}
+
+
+def _agg_transform(df):
+    # group key derived from the row (first letter of text), rows with
+    # score present only
+    return df.select(F.substring("text", 1, 1).alias("grp"), "score")
+
+
+def _agg_tables(spark, tmp_path, tag):
+    src = SnapshotTable.create(
+        spark, str(tmp_path / f"asrc_{tag}"), SRC_SCHEMA,
+        key_cols=["doc_id"], num_buckets=4,
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / f"adst_{tag}"), AGG_DST_SCHEMA,
+        key_cols=["grp"], num_buckets=4,
+    )
+    return src, dst
+
+
+def _agg_expected(src, gate=None):
+    rows = _agg_transform(src.snapshot())
+    if gate is not None:
+        rows = rows.filter(F.coalesce(gate, F.lit(False)))
+    return (
+        rows.groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("score").alias("sum_score"))
+        .toPandas().sort_values("grp").reset_index(drop=True)
+    )
+
+
+def _agg_got(dst):
+    return (
+        dst.snapshot().toPandas().sort_values("grp").reset_index(drop=True)
+        [["grp", "n_docs", "sum_score"]]
+    )
+
+
+def test_agg_incremental_equals_full_recompute_any_cadence(spark, tmp_path):
+    """Grouped derivative maintained by delta-aggregation == full
+    re-aggregation after every sync, across inserts, updates that MOVE
+    a row between groups, and delete-heavy batches."""
+    from datax_spark.derived import sync_derived_agg
+
+    src, dst = _agg_tables(spark, tmp_path, "a")
+    _merge(spark, src, [(1, "ax", 5, "U"), (2, "ay", 7, "U"), (3, "bz", 11, "U")],
+           100, "b1")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    pd.testing.assert_frame_equal(_agg_got(dst), _agg_expected(src))
+
+    # update moves doc 2 from group 'a' to group 'c'; doc 1 re-scored
+    _merge(spark, src, [(2, "cy", 7, "U"), (1, "ax", 9, "U")], 200, "b2")
+    # delete-heavy: group 'b' empties entirely
+    _merge(spark, src, [(3, "bz", 0, "D")], 300, "b3")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)  # 2 src batches in ONE sync
+    pd.testing.assert_frame_equal(_agg_got(dst), _agg_expected(src))
+    assert _agg_got(dst).grp.tolist() == ["a", "c"]  # 'b' deleted, not zeroed
+
+    # per-batch cadence from here on
+    _merge(spark, src, [(4, "bw", 3, "U")], 400, "b4")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    _merge(spark, src, [(4, "bw", 0, "D"), (1, "ax", 0, "D"), (2, "cy", 0, "D")],
+           500, "b5")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    pd.testing.assert_frame_equal(_agg_got(dst), _agg_expected(src))
+    assert _agg_got(dst).empty  # everything deleted upstream
+
+
+def test_agg_gate_flip_retracts_contribution(spark, tmp_path):
+    from datax_spark.derived import sync_derived_agg
+
+    gate = F.col("score") >= 10
+    src, dst = _agg_tables(spark, tmp_path, "g")
+    _merge(spark, src, [(1, "ax", 50, "U"), (2, "ay", 30, "U")], 100, "b1")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform, gate=gate)
+    assert _agg_got(dst).n_docs.tolist() == [2]
+    # doc 2 drops below the gate: its contribution must RETRACT
+    _merge(spark, src, [(2, "ay", 3, "U")], 200, "b2")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform, gate=gate)
+    pd.testing.assert_frame_equal(_agg_got(dst), _agg_expected(src, gate))
+    assert _agg_got(dst).sum_score.tolist() == [50]
+    # and back in
+    _merge(spark, src, [(2, "ay", 40, "U")], 300, "b3")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform, gate=gate)
+    assert _agg_got(dst).sum_score.tolist() == [90]
+
+
+def test_agg_sync_is_exactly_once_and_survives_expiry(spark, tmp_path):
+    from datax_spark.derived import sync_derived_agg
+
+    src, dst = _agg_tables(spark, tmp_path, "x")
+    _merge(spark, src, [(1, "ax", 5, "U")], 100, "b1")
+    ci = sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    assert ci is not None and not ci.skipped
+    # already current → no-op without a commit
+    assert sync_derived_agg(src, dst, _AGGS, transform=_agg_transform) is None
+    # watermark survives retention (compacted into the ledger summary)
+    dst.expire_snapshots(keep_last=1)
+    assert last_synced_version(dst) == src.current()["version"]
+    assert sync_derived_agg(src, dst, _AGGS, transform=_agg_transform) is None
+    # source-snapshot expiry between syncs → full resync, still exact
+    _merge(spark, src, [(2, "by", 7, "U"), (1, "ax", 0, "D")], 200, "b2")
+    src.expire_snapshots(keep_last=1)
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    pd.testing.assert_frame_equal(_agg_got(dst), _agg_expected(src))
+
+
+def test_agg_rejects_non_decomposable_aggregates(spark, tmp_path):
+    import pytest
+    from datax_spark.derived import sync_derived_agg
+
+    src, dst = _agg_tables(spark, tmp_path, "r")
+    with pytest.raises(ValueError, match="count"):
+        sync_derived_agg(src, dst, {"m": ("sum", "score")})
+    with pytest.raises(ValueError, match="delta-maintainable"):
+        sync_derived_agg(src, dst, {"n": ("count",), "m": ("max", "score")})
