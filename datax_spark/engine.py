@@ -345,7 +345,26 @@ class CDCEngine:
             self.table.compact_ledger(prune=ids)
         return len(ids)
 
-    def archivable_segments(self, wal_dir: str) -> list[str]:
+    def _segment_row_counts(self, paths: list[str], wal_format: str) -> dict[str, int]:
+        """Exact per-file row counts for non-parquet WAL segments, via
+        the SAME reader config the replay uses (schema, multiline CSV,
+        timestamp format — a different parse could over/under-count).
+        ONE Spark job for all candidate files, grouped by
+        input_file_name — O(candidates) data read, amortized across
+        the whole retention pass, only ever run on files lineage
+        already claims applied."""
+        if not paths:
+            return {}
+        df = getattr(self._wal_reader(self.spark.read, wal_format), wal_format)(paths)
+        rows = (
+            df.select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .count()
+            .collect()
+        )
+        return {_normalize_source_path(r["f"]): r["count"] for r in rows}
+
+    def archivable_segments(self, wal_dir: str, wal_format: str = "parquet") -> list[str]:
         """WAL segment files under wal_dir that committed lineage
         proves FULLY applied — the retention candidates. At 10^10
         events the WAL outgrows any disk unless retired.
@@ -353,23 +372,37 @@ class CDCEngine:
         'Fully' is enforced, not assumed: a batch built from a
         FILTERED read of a segment (the bootstrap-cutover shape) still
         records the file in lineage, so presence alone is not proof.
-        A parquet segment qualifies only when some single committed
-        batch's lineage rows equal the file's footer row count (whole
-        files through the streaming source always do). Non-parquet
-        segments have no cheap exact count and are never listed —
-        archive json/csv WALs by transcoding or by operator policy."""
+        A segment qualifies only when some single committed batch's
+        lineage rows equal the file's TRUE row count (whole files
+        through the streaming source always do) — from the parquet
+        footer (metadata-only) for parquet WALs, or from one
+        same-reader-config counting job over the candidates for
+        json/csv WALs (r5; previously never listed)."""
         applied = self.applied_sources()
-        out = []
+        candidates = []
         for name in sorted(os.listdir(wal_dir)):
             p = os.path.join(wal_dir, name)
-            if not os.path.isfile(p) or not name.endswith(".parquet"):
+            if not os.path.isfile(p) or not name.endswith(f".{wal_format}"):
                 continue
-            best = applied.get(os.path.abspath(p))
-            if best is not None and best >= _parquet_num_rows(p):
+            if applied.get(os.path.abspath(p)) is not None:
+                candidates.append(p)
+        if wal_format == "parquet":
+            counts = {os.path.abspath(p): _parquet_num_rows(p) for p in candidates}
+        else:
+            counts = self._segment_row_counts(candidates, wal_format)
+        out = []
+        for p in candidates:
+            true_rows = counts.get(os.path.abspath(p))
+            if true_rows is not None and applied[os.path.abspath(p)] >= true_rows:
                 out.append(p)
         return out
 
-    def archive_wal(self, wal_dir: str, archive_dir: str | None = None) -> list[str]:
+    def archive_wal(
+        self,
+        wal_dir: str,
+        archive_dir: str | None = None,
+        wal_format: str = "parquet",
+    ) -> list[str]:
         """Retire fully-applied WAL segments: move them to archive_dir
         (cold storage) or delete when archive_dir is None. Safe with a
         live streaming tail — the file-source checkpoint remembers
@@ -380,7 +413,7 @@ class CDCEngine:
         import shutil
 
         retired = []
-        for p in self.archivable_segments(wal_dir):
+        for p in self.archivable_segments(wal_dir, wal_format=wal_format):
             if archive_dir is None:
                 os.remove(p)
             else:

