@@ -424,6 +424,126 @@ def run_skew_merge(sf_dir: str, amplify: int = 64) -> dict:
     return out
 
 
+def run_mor_vs_cow(
+    n_keys: int | None = None, n_small: int | None = None,
+    rows_per_small: int | None = None,
+) -> dict:
+    """Write-amplification evidence for merge-on-read: a bounded-size
+    table takes a train of SMALL spread-key micro-batches — the
+    high-frequency CDC-tail shape — once under strategy='cow' (every
+    touched bucket rewritten per batch) and once under strategy='mor'
+    with the engine's inline compactor (O(batch) delta bytes per
+    commit, bucket rewrites amortized over ~threshold batches). Both
+    walls INCLUDE the mor run's compaction commits — the honest
+    steady-state cost. Reports bytes written to the table per strategy
+    and the resulting write amplification (bytes written / batch
+    payload bytes); the final-state checksum equality is asserted.
+
+    Batch keys stride across the whole key space so every batch
+    touches ~all 64 buckets — the adversarial case for COW and the
+    design case for MOR: at 10^10 events under COW this shape rewrites
+    ~the entire table every micro-batch."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.engine import CDCEngine
+    from datax_spark.schema_evolution import EpochRegistry
+    from datax_spark.table import SnapshotTable
+    from datax_spark.transforms import TransformPipeline
+
+    n_keys = n_keys or int(os.environ.get("DATAX_BENCH_MOR_KEYS", "200000"))
+    n_small = n_small or int(os.environ.get("DATAX_BENCH_MOR_BATCHES", "10"))
+    rows_per_small = rows_per_small or int(
+        os.environ.get("DATAX_BENCH_MOR_ROWS", "2000"))
+
+    spark = _get_spark(CPUS)
+    registry = EpochRegistry(_BENCH_REGISTRY)
+    loc = tempfile.mkdtemp(prefix="datax_bench_mor_", dir=BENCH_TMP)
+
+    def change_rows(ids, lsn_base: int, tag: str):
+        pad = F.repeat(F.lit("x"), 480)
+        return ids.select(
+            F.concat(F.lit("r"), (F.col("id") % 1024).cast("string")).alias("repo"),
+            F.concat(F.lit("f/"), F.col("id").cast("string")).alias("path"),
+            (F.lit(lsn_base) + F.col("id")).cast("long").alias("lsn"),
+            F.lit("U").alias("op"),
+            F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 8).alias("commit_id"),
+            F.lit("python").alias("lang"),
+            F.concat(F.lit(tag), F.lit(":"), F.col("id").cast("string"), pad).alias("content"),
+        )
+
+    # Untimed prep: base snapshot + the small batches, all on disk
+    # first so both strategies read identical inputs.
+    base_dir = os.path.join(loc, "base")
+    change_rows(spark.range(n_keys), 0, "base").write.parquet(base_dir)
+    small_dirs = []
+    for b in range(n_small):
+        # stride sampling: batch b touches keys b, b+stride, … — every
+        # batch spreads across all buckets
+        stride = n_keys // rows_per_small
+        ids = spark.range(rows_per_small).select(
+            ((F.col("id") * stride + b) % n_keys).alias("id")
+        )
+        d = os.path.join(loc, f"small_{b}")
+        change_rows(ids, n_keys * (b + 1), f"upd{b}").write.parquet(d)
+        small_dirs.append(d)
+    payload_bytes = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d in small_dirs for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+    def table_bytes(t: SnapshotTable) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(t.location, "data")):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    out: dict = {"n_keys": n_keys, "n_small_batches": n_small,
+                 "rows_per_small": rows_per_small,
+                 "batch_payload_bytes": payload_bytes}
+    checksums = {}
+    for strategy in ("cow", "mor"):
+        table = SnapshotTable.create(
+            spark, os.path.join(loc, f"t_{strategy}"), registry.schema_for(0),
+            key_cols=registry.key_cols, num_buckets=64,
+        )
+        transform = TransformPipeline().with_column(
+            "content_sha", F.sha2(F.col("content"), 256)
+        )
+        engine = CDCEngine(spark, table, registry, transform=transform,
+                           merge_strategy=strategy)
+        engine.apply_batch(
+            spark.read.parquet(base_dir).withColumn(
+                "_source_file", F.lit("bench:base")),
+            batch_id="base",
+        )
+        written0 = table_bytes(table)
+        t0 = time.monotonic()
+        for b, d in enumerate(small_dirs):
+            engine.apply_batch(spark.read.parquet(d), batch_id=f"small-{b}")
+        wall = time.monotonic() - t0
+        # bytes WRITTEN during the small-batch phase = growth of the
+        # data dir (nothing is vacuumed mid-run, so superseded COW
+        # bucket dirs still count — they were written)
+        written = table_bytes(table) - written0
+        out[f"wall_sec_{strategy}"] = round(wall, 2)
+        out[f"bytes_written_{strategy}"] = written
+        out[f"write_amplification_{strategy}"] = round(written / payload_bytes, 1)
+        checksums[strategy] = table.snapshot().select(
+            F.sum(F.crc32(F.concat_ws("|", "repo", "path", "content", "content_sha"))).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+    out["mor_speedup"] = round(out["wall_sec_cow"] / out["wall_sec_mor"], 2)
+    out["states_equal"] = (
+        checksums["cow"]["c"] == checksums["mor"]["c"]
+        and checksums["cow"]["n"] == checksums["mor"]["n"]
+    )
+    spark.stop()
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    return out
+
+
 def run_calibration(spark) -> dict:
     """Host-noise calibration: a fixed pure-CPU sha256 job (no I/O, no
     shuffle payload to speak of) whose wall depends only on how much
@@ -546,6 +666,9 @@ def main() -> None:
     skew = None
     if os.environ.get("DATAX_BENCH_SKEW", "1") != "0":
         skew = run_skew_merge(SF_DIR)
+    mor = None
+    if os.environ.get("DATAX_BENCH_MOR", "1") != "0":
+        mor = run_mor_vs_cow()
     times, total, calibration = run_headline(SF_DIR)
     out = {
         "metric": "headline_suite_wall_sec",
@@ -562,6 +685,8 @@ def main() -> None:
         out["streaming_apply"] = streaming
     if skew is not None:
         out["merge_skew"] = skew
+    if mor is not None:
+        out["mor_vs_cow"] = mor
     if scaling is not None:
         # The 10^10-event claim, mechanically traceable: projected wall
         # = target / (nodes × per_node_rate × eff). per_node_rate is

@@ -76,6 +76,8 @@ class CDCEngine:
         ok_condition: Column | None = None,
         error_limit: ErrorLimit | None = None,
         commit_retries: int = 0,
+        merge_strategy: str = "cow",
+        mor_compact_threshold: int = 8,
     ):
         """ok_condition: rows failing it (post-transform) are diverted
         to <table>/_quarantine instead of merged — the reference's
@@ -86,7 +88,22 @@ class CDCEngine:
         commit_retries > 0 makes each merge survive losing the commit
         race to ANOTHER writer on the same table (an ad-hoc backfill
         next to the streaming tail) via table.merge_with_retry; the
-        default 0 keeps the single-writer fail-loud behavior."""
+        default 0 keeps the single-writer fail-loud behavior.
+
+        merge_strategy='mor' switches apply_batch to merge-on-read
+        deltas (table.merge strategy='mor'): each micro-batch writes
+        O(batch) bytes with no target read — the right mode for a
+        high-frequency tail whose batches are small relative to the
+        buckets they touch. The engine then compacts inline whenever
+        any bucket's delta count crosses `mor_compact_threshold`
+        (compacting ONLY those buckets), so read amplification is
+        bounded by the threshold while each bucket's rewrite cost is
+        amortized over ~threshold batches instead of paid every batch
+        as under 'cow'."""
+        if merge_strategy not in ("cow", "mor"):
+            raise ValueError(
+                f"merge_strategy must be 'cow' or 'mor', got {merge_strategy!r}"
+            )
         self.spark = spark
         self.table = table
         self.registry = registry
@@ -94,6 +111,8 @@ class CDCEngine:
         self.ok_condition = ok_condition
         self.error_limit = error_limit or ErrorLimit()
         self.commit_retries = commit_retries
+        self.merge_strategy = merge_strategy
+        self.mor_compact_threshold = mor_compact_threshold
         self._applied_epoch = self._infer_table_epoch()
 
     def _infer_table_epoch(self) -> int:
@@ -223,7 +242,20 @@ class CDCEngine:
             lineage=lineage,
             metrics={"n_dirty": n_dirty} if n_dirty else {},
             affected_buckets=affected,
+            strategy=self.merge_strategy,
         )
+        if self.merge_strategy == "mor" and not ci.skipped:
+            # Inline compaction policy: fold only the buckets whose
+            # delta count crossed the read-amplification budget. A
+            # separate commit with no batch id — exactly-once state is
+            # untouched, and a crash between merge and compaction just
+            # leaves the deltas for the next batch's check.
+            hot = [
+                b for b, n in self.table.delta_counts().items()
+                if n >= self.mor_compact_threshold
+            ]
+            if hot:
+                self.table.compact_buckets(buckets=hot)
         wall = time.monotonic() - t0
         # metrics were not known before merge; patching rows/sec into
         # the already-atomic commit is NOT allowed — instead we record
@@ -599,12 +631,14 @@ def replay_wal_as_table(
     registry: EpochRegistry,
     location: str,
     num_buckets: int = 32,
+    **engine_kw,
 ) -> SnapshotTable:
-    """Convenience: fresh table at epoch-0 schema + full batch replay."""
+    """Convenience: fresh table at epoch-0 schema + full batch replay.
+    engine_kw passes through to CDCEngine (e.g. merge_strategy='mor')."""
     table = SnapshotTable.create(
         spark, location, registry.schema_for(0), key_cols=registry.key_cols, num_buckets=num_buckets
     )
-    engine = CDCEngine(spark, table, registry)
+    engine = CDCEngine(spark, table, registry, **engine_kw)
     engine.replay_batch(wal_dir)
     return table
 
@@ -618,10 +652,12 @@ def wal_checkpoint_run(
     max_files_per_trigger: int = 1,
     num_buckets: int = 32,
     stop_after_batches: int | None = None,
+    **engine_kw,
 ) -> SnapshotTable:
     """Streaming replay; optionally kill the query mid-stream after N
     batches (restart/resume test). Re-invoking with the same location +
-    checkpoint resumes and converges."""
+    checkpoint resumes and converges. engine_kw passes through to
+    CDCEngine (e.g. merge_strategy='mor')."""
     if os.path.isdir(os.path.join(location, "_commits")):
         table = SnapshotTable.load(spark, location)
     else:
@@ -632,7 +668,7 @@ def wal_checkpoint_run(
             key_cols=registry.key_cols,
             num_buckets=num_buckets,
         )
-    engine = CDCEngine(spark, table, registry)
+    engine = CDCEngine(spark, table, registry, **engine_kw)
     seen = {"n": 0}
 
     def on_batch(ci: CommitInfo, epoch_id: int) -> None:

@@ -12,6 +12,16 @@ same semantics live behind this small backend:
     bucket() partition transform). Unchanged buckets are carried
     forward by pointer, so MERGE cost scales with the batch, not the
     table — the property that makes this viable at 100 TB.
+  * merge-on-read (strategy='mor', Iceberg's
+    write.update.mode=merge-on-read analogue): a merge may instead
+    append per-bucket DELTA file-sets — zero target read, write cost
+    O(batch) even when the batch's keys spread across every bucket
+    (the high-frequency CDC-tail shape where COW would rewrite most
+    of the table each commit). Reads fold base+deltas with the same
+    last-writer-wins rule; compact_buckets() periodically folds the
+    deltas down so read amplification is bounded by the compaction
+    cadence, not the batch count. COW and MOR interleave freely on
+    one table with identical semantics.
   * commits: one JSON file per snapshot, created by atomic os.rename,
     recording parent, manifest (bucket → data dir), schema (versioned,
     evolvable), the batch-id ledger DELTA (exactly-once: replayed
@@ -426,6 +436,80 @@ class SnapshotTable:
         self._write_commit(v, rec)
         return CommitInfo(v, rec["snapshot_id"], None)
 
+    def delta_counts(self) -> dict[int, int]:
+        """Bucket → live MOR delta-file-set count in the current
+        snapshot (buckets with zero deltas omitted). Driver-side dict
+        read from the commit record — no data scan. The compaction
+        policy input: compact when any count crosses the read-
+        amplification budget."""
+        out: dict[int, int] = {}
+        for b, entry in self.current()["manifest"].items():
+            if isinstance(entry, dict) and entry["deltas"]:
+                out[int(b)] = len(entry["deltas"])
+        return out
+
+    def compact_buckets(
+        self, buckets: Iterable[int] | None = None, min_deltas: int = 1
+    ) -> CommitInfo:
+        """Fold merge-on-read deltas back into per-bucket base files in
+        one transactional commit (no ledger entry — compaction changes
+        LAYOUT, not content: snapshot equality before/after is pinned
+        in tests, and time travel to pre-compaction versions still
+        folds their own manifests). Targets `buckets`, default every
+        bucket holding ≥ min_deltas delta sets.
+
+        This is the amortization half of the MOR trade: a
+        high-frequency CDC tail commits O(batch) delta bytes per
+        micro-batch, and a periodic compactor pays each bucket's
+        rewrite ONCE per cadence instead of once per batch (COW), while
+        read amplification stays bounded by the cadence. Concurrent
+        writers: runs under the same optimistic version claim as merge
+        — a lost race raises ConcurrentCommitError and is safe to
+        retry."""
+        cur = self.current()
+        counts = {
+            int(b): len(entry["deltas"])
+            for b, entry in cur["manifest"].items()
+            if isinstance(entry, dict) and len(entry["deltas"]) >= min_deltas
+        }
+        picked = sorted(counts if buckets is None else set(buckets) & set(counts))
+        if not picked:
+            return CommitInfo(cur["version"], cur["snapshot_id"], None, skipped=True)
+        folded = self._read_manifest(cur, buckets=picked).withColumn(
+            BUCKET_COL, bucket_expr(cur["key_cols"], cur["num_buckets"])
+        )
+        v = cur["version"] + 1
+        rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.location, rel_dir)
+        (
+            folded.repartition(max(1, len(picked)), F.col(BUCKET_COL))
+            .sortWithinPartitions(*cur["key_cols"])
+            .write.mode("errorifexists")
+            .partitionBy(BUCKET_COL)
+            .parquet(out_dir)
+        )
+        manifest = dict(cur["manifest"])
+        written = set()
+        for entry in os.listdir(out_dir):
+            if entry.startswith(f"{BUCKET_COL}="):
+                b = int(entry.split("=", 1)[1])
+                manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
+                written.add(b)
+        for b in picked:  # delta-only bucket folded to zero rows
+            if b not in written and str(b) in manifest:
+                del manifest[str(b)]
+        rec = {
+            **cur,
+            "snapshot_id": uuid.uuid4().hex[:16],
+            "parent": cur["snapshot_id"],
+            "batch_id": None,
+            "manifest": manifest,
+            "lineage": [],
+            "metrics": {"compact_buckets": picked},
+        }
+        self._write_commit(v, rec)
+        return CommitInfo(v, rec["snapshot_id"], None)
+
     def merge_with_retry(self, batch_df: DataFrame, retries: int = 3, **kw) -> CommitInfo:
         """Multi-writer merge: on a lost commit race
         (ConcurrentCommitError from the atomic version claim), re-read
@@ -502,10 +586,12 @@ class SnapshotTable:
         live_ledgers: set[str] = set()
         for c in self.history():
             for entry in c.get("manifest", {}).values():
-                d = entry if isinstance(entry, str) else entry[0]
                 # manifest paths look like data/c<version>/<bucket>=N;
-                # the unit of reclamation is the commit dir.
-                live.add(d.split("/")[1])
+                # the unit of reclamation is the commit dir. MOR
+                # entries reference several dirs (base + each delta) —
+                # all stay live while any retained snapshot lists them.
+                for d, _sv in self._manifest_parts(entry):
+                    live.add(d.split("/")[1])
             if c.get("ledger_base"):
                 live_ledgers.add(os.path.basename(c["ledger_base"]))
         removed = []
@@ -523,6 +609,24 @@ class SnapshotTable:
         return removed
 
     # ---------- reads ----------
+
+    @staticmethod
+    def _manifest_parts(entry) -> list[tuple[str, int]]:
+        """(rel_dir, schema_version) file-sets of one bucket's manifest
+        entry, oldest-applied first. Three on-disk forms coexist:
+        legacy plain string (pre-schema-versioning base), [dir, sv]
+        (copy-on-write base), and {"base": [dir, sv] | None, "deltas":
+        [[dir, sv], …]} (merge-on-read: base plus the delta files
+        appended since the bucket's last compaction)."""
+        if isinstance(entry, str):
+            return [(entry, -1)]
+        if isinstance(entry, list):
+            return [(entry[0], entry[1])]
+        parts = []
+        if entry.get("base") is not None:
+            parts.append((entry["base"][0], entry["base"][1]))
+        parts.extend((d[0], d[1]) for d in entry["deltas"])
+        return parts
 
     def _read_manifest(self, commit: dict, buckets: list[int] | None = None) -> DataFrame:
         schema = T.StructType.fromJson(commit["schema"])
@@ -552,9 +656,15 @@ class SnapshotTable:
         # Dirs written under older schema versions are aligned on read
         # — schema evolution without rewriting files.
         by_ver: dict[int, list[str]] = {}
+        needs_fold = False
         for _b, entry in items:
-            d, sv = (entry, -1) if isinstance(entry, str) else (entry[0], entry[1])
-            by_ver.setdefault(sv, []).append(os.path.join(self.location, d))
+            psets = self._manifest_parts(entry)
+            # >1 file-set for one bucket ⇒ merge-on-read deltas are
+            # live for it ⇒ a key may have several row versions on
+            # disk and the read must fold them.
+            needs_fold = needs_fold or len(psets) > 1
+            for d, sv in psets:
+                by_ver.setdefault(sv, []).append(os.path.join(self.location, d))
         parts = []
         for _sv, paths in sorted(by_ver.items()):
             raw = self.spark.read.parquet(*paths)
@@ -565,7 +675,31 @@ class SnapshotTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        return df
+        if not needs_fold:
+            # pure copy-on-write snapshot: exactly the pre-MOR plan —
+            # no fold shuffle, no per-row file-name expression.
+            return df
+        # Merge-on-read fold: each key keeps its last-writer row across
+        # base + deltas — max_by over (lsn, application order), the
+        # same LWW rule merge() applies, so COW and MOR snapshots of
+        # the same change stream are identical. Application order is
+        # recovered from the data-dir name (data/c<version12>-<id>/…,
+        # the commit version that wrote the file-set): ties on lsn
+        # (an at-least-once redelivery under a NEW batch id) resolve to
+        # the EARLIEST-applied row, matching merge()'s existing-row-
+        # wins tie rule. Negated so one ascending max_by struct works.
+        key_cols = commit["key_cols"]
+        out_cols = [f.name for f in full.fields]
+        ver = F.regexp_extract(F.input_file_name(), r"/c(\d{12})-", 1).cast("long")
+        # Materialized BELOW the aggregate: input_file_name() must be
+        # evaluated at the scan, not inside the agg's ordering expr.
+        df = df.withColumn("_applied", -ver)
+        payload = F.struct(*[F.col(c) for c in out_cols])
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.max_by(payload, F.struct(F.col(LSN_COL), F.col("_applied"))).alias("w"))
+            .select(*[F.col(f"w.{c}").alias(c) for c in out_cols])
+        )
 
     def snapshot(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         """Current (or time-travel) table state. Tombstone rows (delete
@@ -764,12 +898,27 @@ class SnapshotTable:
         lineage: list[dict] | None = None,
         metrics: dict | None = None,
         affected_buckets: list[int] | None = None,
+        strategy: str = "cow",
     ) -> CommitInfo:
         """Apply a change batch: op I/U upsert, op D delete (retained
         as a tombstone marker), last writer (highest lsn) wins,
         re-delivery (lsn ≤ applied) is a no-op — including a late
         OUT-OF-ORDER redelivery of an update older than a delete,
         which the tombstone's lsn rejects.
+
+        strategy='cow' (default) rewrites every touched bucket —
+        write cost O(touched-bucket bytes), reads stay a plain scan.
+        strategy='mor' (merge-on-read, Iceberg's
+        write.update.mode=merge-on-read analogue) writes ONLY the
+        batch's winner rows as per-bucket DELTA files with no target
+        read at all — write cost O(batch), the shape a
+        small-batch/high-frequency CDC tail needs: at 10^10 events a
+        spread-key micro-batch under COW rewrites most of the table
+        every commit. Readers fold base+deltas by the same LWW rule
+        (see _read_manifest) until compact_buckets() folds the deltas
+        back into the base. Semantics are IDENTICAL between the two —
+        any interleaving of cow/mor merges of the same change stream
+        yields the same snapshot.
 
         Equivalent Iceberg SQL (cluster deployment — iceberg.merge_sql
         builds exactly this, golden-tested):
@@ -791,9 +940,62 @@ class SnapshotTable:
         key_cols = cur["key_cols"]
         nb = cur["num_buckets"]
 
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"strategy must be 'cow' or 'mor', got {strategy!r}")
         updates = align_to_schema(batch_df, schema, keep=[lsn_col, op_col])
         updates = updates.withColumnRenamed(lsn_col, LSN_COL) if lsn_col != LSN_COL else updates
         updates = updates.withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
+        data_cols = [f.name for f in schema.fields]
+
+        if strategy == "mor":
+            # No target read: the batch folds against the table at READ
+            # time (_read_manifest), not write time. Only batch-internal
+            # LWW runs here so a delta holds ≤1 row per key; deletes
+            # become tombstone rows exactly as in COW (the read-time
+            # fold needs their lsn to reject late older redeliveries).
+            payload = F.struct(
+                *[F.col(c) for c in data_cols], F.col(LSN_COL), F.col(op_col), F.col(BUCKET_COL)
+            )
+            winners = (
+                updates.groupBy(*key_cols)
+                .agg(F.max_by(payload, F.col(LSN_COL)).alias("w"))
+                .select(*[F.col(f"w.{c}").alias(c)
+                          for c in data_cols + [LSN_COL, op_col, BUCKET_COL]])
+            )
+            is_del = F.coalesce(F.col(op_col) == F.lit("D"), F.lit(False))
+            payload_cols = [c for c in data_cols if c not in key_cols]
+            survivors = winners.select(
+                *key_cols,
+                *[
+                    F.when(is_del, F.lit(None).cast(schema[c].dataType))
+                    .otherwise(F.col(c)).alias(c)
+                    for c in payload_cols
+                ],
+                LSN_COL,
+                BUCKET_COL,
+                is_del.alias(TOMBSTONE_COL),
+            )
+            v = cur["version"] + 1
+            rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.location, rel_dir)
+            # ONE scan of the batch, writes O(batch) bytes. Partition
+            # count follows spark.sql.shuffle.partitions (the batch is
+            # small by premise); partitionBy still yields exactly one
+            # file set per touched bucket.
+            (
+                survivors.repartition(F.col(BUCKET_COL))
+                .sortWithinPartitions(*key_cols)
+                .write.mode("errorifexists")
+                .partitionBy(BUCKET_COL)
+                .parquet(out_dir)
+            )
+            manifest = dict(cur["manifest"])
+            for entry in os.listdir(out_dir):
+                if entry.startswith(f"{BUCKET_COL}="):
+                    b = int(entry.split("=", 1)[1])
+                    delta = [f"{rel_dir}/{entry}", cur["schema_version"]]
+                    manifest[str(b)] = self._append_delta(manifest.get(str(b)), delta)
+            return self._commit_merge(cur, v, manifest, batch_id, lineage, metrics)
 
         # Which buckets does this batch touch? Tiny driver-side list
         # (≤ num_buckets ints) — NOT a data collect. The engine passes
@@ -821,7 +1023,6 @@ class SnapshotTable:
             BUCKET_COL, bucket_expr(key_cols, nb)
         )
 
-        data_cols = [f.name for f in schema.fields]
         # An existing TOMBSTONE row competes as a delete-winner (op 'D'):
         # if nothing in the batch outranks its lsn the key stays deleted
         # — this is what makes deletes safe under out-of-order delivery
@@ -913,7 +1114,30 @@ class SnapshotTable:
         for b in affected:  # bucket emptied entirely (all rows deleted)
             if b not in written and str(b) in manifest:
                 del manifest[str(b)]
+        return self._commit_merge(cur, v, manifest, batch_id, lineage, metrics)
 
+    @staticmethod
+    def _append_delta(entry, delta: list) -> dict:
+        """A bucket's manifest entry with one more MOR delta appended,
+        normalizing legacy str / [dir, sv] base forms to the dict form
+        on first touch. entry=None → bucket born as delta-only."""
+        if entry is None:
+            return {"base": None, "deltas": [delta]}
+        if isinstance(entry, str):
+            return {"base": [entry, -1], "deltas": [delta]}
+        if isinstance(entry, list):
+            return {"base": entry, "deltas": [delta]}
+        return {"base": entry["base"], "deltas": entry["deltas"] + [delta]}
+
+    def _commit_merge(
+        self,
+        cur: dict,
+        v: int,
+        manifest: dict,
+        batch_id: str | None,
+        lineage: list[dict] | None,
+        metrics: dict | None,
+    ) -> CommitInfo:
         # Ledger delta: append to the tail; when the tail crosses the
         # compaction threshold fold everything (incl. THIS commit's id,
         # lineage and metrics) into a fresh immutable summary and reset
