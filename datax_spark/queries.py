@@ -152,6 +152,30 @@ def cdc_replay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot_with_sha(table)
 
 
+@query("cdc_mor_replay", _CDC_FOLD_SQL, demoted=True)
+def cdc_mor_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read replay (table.merge strategy='mor', r5): the same
+    change stream as cdc_replay_events applied as three lsn-range
+    micro-batches of O(batch)-cost delta commits, with the engine's
+    inline compactor folding hot buckets mid-run (threshold 2 → the
+    third batch triggers it) and live deltas left at the end — so the
+    returned snapshot exercises the read-time base+delta LWW fold
+    itself, not a fully-compacted table. Oracle = the single-pass SQL
+    LWW fold verbatim: MOR layout must be invisible to results."""
+    registry = EpochRegistry(_CHANGES_REGISTRY)
+    table = _fresh_table(spark, registry)
+    engine = CDCEngine(spark, table, registry, merge_strategy="mor",
+                       mor_compact_threshold=2)
+    changes = events_as_changes(load(spark, sf_dir, "events"))
+    lo, hi = changes.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for i, (a, b) in enumerate([(lo, cut1), (cut1 + 1, cut2), (cut2 + 1, hi)]):
+        engine.apply_batch(
+            changes.filter(F.col("lsn").between(a, b)), batch_id=f"mor-{i}"
+        )
+    return _snapshot_with_sha(table)
+
+
 @query("cdc_bootstrap_cutover", _CDC_FOLD_SQL, demoted=True)
 def cdc_bootstrap_cutover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-then-binlog handoff (CDCEngine.bootstrap): the state

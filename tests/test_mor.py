@@ -319,3 +319,39 @@ def test_engine_mor_stream_kill_restart(spark, wal_fixture, tmp_path):
         )
 
     pd.testing.assert_frame_equal(hdf(t), hdf(ref))
+
+
+def test_compaction_loses_race_to_concurrent_mor_writer(spark, tmp_path):
+    """External-compactor deployment shape: a compactor racing the
+    streaming tail must LOSE the atomic version claim (never clobber
+    the tail's delta), and a plain retry then folds the complete
+    state — the late delta included."""
+    from datax_spark.table import ConcurrentCommitError
+
+    loc = str(tmp_path / "t")
+    t = _mk(spark, loc)
+    _apply(t, spark, ("mor",) * 4)
+    writer = SnapshotTable.load(spark, loc)
+
+    orig = t._write_commit
+    fired = {"n": 0}
+
+    def racing_write(version, record):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            writer.merge(
+                _batch(spark, [(20, "U", "r1", "a.py", "late")]),
+                batch_id="late", strategy="mor",
+            )
+        return orig(version, record)
+
+    t._write_commit = racing_write
+    with pytest.raises(ConcurrentCommitError):
+        t.compact_buckets()
+    # retry from fresh state folds everything, late delta included
+    t2 = SnapshotTable.load(spark, loc)
+    assert not t2.compact_buckets().skipped
+    assert t2.delta_counts() == {}
+    assert ("r1", "a.py", "late") in _state(t2)
+    # the loser's orphan dir is reclaimable
+    assert any(d for d in t2.vacuum())
