@@ -76,6 +76,23 @@ def tombstone_migration_sql(identifier: str) -> str:
     return f"ALTER TABLE {identifier} ADD COLUMN `_tombstone` boolean"
 
 
+def compact_sql(identifier: str, target_file_size_bytes: int | None = None) -> str:
+    """The cluster twin of SnapshotTable.compact_buckets: Iceberg's
+    rewrite_data_files procedure bin-packs the merge-on-read delta
+    files (this table is created with write.merge.mode=merge-on-read,
+    see create_table_sql) back into full-size base files, bounding
+    read amplification exactly as the sandbox backend's bucket
+    compaction does. Run on the maintenance cadence, not per batch."""
+    catalog, _, _ = identifier.partition(".")
+    opts = f"table => '{identifier}'"
+    if target_file_size_bytes is not None:
+        opts += (
+            ", options => map('target-file-size-bytes', "
+            f"'{int(target_file_size_bytes)}')"
+        )
+    return f"CALL {catalog}.system.rewrite_data_files({opts})"
+
+
 def merge_sql(
     identifier: str,
     data_cols: list[str],

@@ -147,3 +147,17 @@ def test_merge_and_snapshot_issue_migration_for_legacy_table():
     modern = FakeSpark(["repo", "path", "content", "_lsn", "_tombstone"])
     IcebergTable(modern, "cat.db.modern", ["repo", "path"])._ensure_tombstone_column()
     assert modern.issued == []
+
+
+def test_compact_sql_golden():
+    """Cluster twin of compact_buckets (r5 MOR): rewrite_data_files
+    bin-packs the merge-on-read deltas back into base files."""
+    from datax_spark.iceberg import compact_sql
+
+    assert compact_sql("cat.db.src") == (
+        "CALL cat.system.rewrite_data_files(table => 'cat.db.src')"
+    )
+    assert compact_sql("cat.db.src", target_file_size_bytes=512 * 1024 * 1024) == (
+        "CALL cat.system.rewrite_data_files(table => 'cat.db.src', "
+        "options => map('target-file-size-bytes', '536870912'))"
+    )
