@@ -507,7 +507,18 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
         df = df.join(existing, on=key_cols, how="left_anti")
     elif mode not in ("replace", "update"):
         raise JobConfigError(f"snapshotwriter writeMode {mode!r}")
-    result.commit = table.merge(df, batch_id=p.get("batchId"))
+    strategy = p.get("mergeStrategy", "cow")
+    if strategy not in ("cow", "mor"):
+        raise JobConfigError(f"snapshotwriter mergeStrategy {strategy!r}")
+    result.commit = table.merge(df, batch_id=p.get("batchId"), strategy=strategy)
+    if strategy == "mor":
+        # Same inline policy as CDCEngine: fold only the buckets whose
+        # delta count crossed the threshold (a separate ledger-less
+        # commit — rerunning after a crash here just re-checks).
+        thr = int(p.get("morCompactThreshold", 8))
+        hot = [b for b, n in table.delta_counts().items() if n >= thr]
+        if hot:
+            table.compact_buckets(buckets=hot)
 
 
 def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobResult) -> None:
@@ -654,7 +665,9 @@ def _run_stream_entry(spark: SparkSession, entry: dict, result: JobResult) -> No
     params: path, schemaEpochs (registry json) OR columns {name:type},
     maxFilesPerTrigger / maxBytesPerTrigger (speed control), walFormat,
     availableNow. Writer (snapshotwriter) params: path, upsertKey,
-    numBuckets, checkpoint (REQUIRED — resume identity)."""
+    numBuckets, checkpoint (REQUIRED — resume identity), mergeStrategy
+    cow|mor + morCompactThreshold (merge-on-read deltas with inline
+    compaction — the small-batch/high-frequency tail shape)."""
     from .engine import CDCEngine
     from .schema_evolution import EpochRegistry
 
@@ -694,7 +707,14 @@ def _run_stream_entry(spark: SparkSession, entry: dict, result: JobResult) -> No
     if transformers:
         pipeline.transform("job_spec", lambda df: _apply_transformers(df, transformers))
     v_before = table.current()["version"]
-    engine = CDCEngine(spark, table, registry, transform=pipeline)
+    strategy = wp.get("mergeStrategy", "cow")
+    if strategy not in ("cow", "mor"):
+        raise JobConfigError(f"snapshotwriter mergeStrategy {strategy!r}")
+    engine = CDCEngine(
+        spark, table, registry, transform=pipeline,
+        merge_strategy=strategy,
+        mor_compact_threshold=int(wp.get("morCompactThreshold", 8)),
+    )
     q = engine.run_stream(
         rp["path"], ckpt,
         max_files_per_trigger=int(rp.get("maxFilesPerTrigger", 1)),

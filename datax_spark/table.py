@@ -536,30 +536,54 @@ class SnapshotTable:
         redelivery older than the watermark can no longer arrive, so
         the marker has nothing left to defend against. The operational
         twin of vacuum: vacuum bounds dead FILES, this bounds dead
-        ROWS."""
+        ROWS.
+
+        Rewrites ONLY the buckets that hold a qualifying marker (r5):
+        the discovery pass collects distinct bucket ids of matching
+        tombstone rows — ≤ num_buckets ints, never a data collect — so
+        on a 10^10-row table a purge after a localized delete wave
+        costs O(affected buckets), not a full-table rewrite. Untouched
+        buckets are carried forward by pointer (any live MOR deltas
+        they hold stay live); rewritten buckets fold their deltas as a
+        side effect of going through the read path."""
         cur = self.current()
-        df = self._read_manifest(cur)
+        key_cols = cur["key_cols"]
+        nb = cur["num_buckets"]
         dead = F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))
         if before_lsn is not None:
             dead = dead & (F.col(LSN_COL) < F.lit(before_lsn))
-        kept = df.filter(~dead)
-        key_cols = cur["key_cols"]
+        affected = sorted(
+            r["b"]
+            for r in self._read_manifest(cur)
+            .filter(dead)
+            .select(bucket_expr(key_cols, nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return CommitInfo(cur["version"], cur["snapshot_id"], None, skipped=True)
+        kept = self._read_manifest(cur, buckets=affected).filter(~dead)
         v = cur["version"] + 1
         rel_dir = f"data/c{v:012d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.location, rel_dir)
         (
-            kept.withColumn(BUCKET_COL, bucket_expr(key_cols, cur["num_buckets"]))
-            .repartition(cur["num_buckets"], F.col(BUCKET_COL))
+            kept.withColumn(BUCKET_COL, bucket_expr(key_cols, nb))
+            .repartition(max(1, len(affected)), F.col(BUCKET_COL))
             .sortWithinPartitions(*key_cols)
             .write.mode("errorifexists")
             .partitionBy(BUCKET_COL)
             .parquet(out_dir)
         )
-        manifest = {}
+        manifest = dict(cur["manifest"])
+        written = set()
         for entry in os.listdir(out_dir):
             if entry.startswith(f"{BUCKET_COL}="):
                 b = int(entry.split("=", 1)[1])
                 manifest[str(b)] = [f"{rel_dir}/{entry}", cur["schema_version"]]
+                written.add(b)
+        for b in affected:  # bucket held only purged markers → now empty
+            if b not in written and str(b) in manifest:
+                del manifest[str(b)]
         rec = {
             **cur,
             "snapshot_id": uuid.uuid4().hex[:16],
@@ -567,7 +591,8 @@ class SnapshotTable:
             "batch_id": None,
             "manifest": manifest,
             "lineage": [],
-            "metrics": {"purge_tombstones": before_lsn if before_lsn is not None else "all"},
+            "metrics": {"purge_tombstones": before_lsn if before_lsn is not None else "all",
+                        "purged_buckets": affected},
         }
         self._write_commit(v, rec)
         return CommitInfo(v, rec["snapshot_id"], None)

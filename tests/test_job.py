@@ -743,3 +743,92 @@ def test_snapshotwriter_bootstrap_requires_watermark(spark, tmp_path):
                                      "upsertKey": ["doc_id"],
                                      "writeMode": "bootstrap"}},
         }]}})
+
+
+def test_streaming_job_spec_mor_strategy(spark, wal_fixture, tmp_path):
+    """mergeStrategy: mor on the streaming snapshotwriter drives the
+    engine's merge-on-read tail from job JSON: final state sha-equals
+    the fixture fold, inline compaction bounded every bucket's delta
+    count, and a bogus strategy fails loudly."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from datax_spark.table import SnapshotTable
+
+    loc = str(tmp_path / "table")
+    spec = {"job": {"content": [{
+        "reader": {"name": "walreader",
+                   "parameter": {"path": wal_fixture.wal_dir, "stream": True,
+                                 "schemaEpochs": wal_fixture.schema_epochs_path,
+                                 "maxFilesPerTrigger": 1}},
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "upsertKey": ["repo", "path"],
+                                 "numBuckets": 8,
+                                 "checkpoint": str(tmp_path / "ckpt"),
+                                 "mergeStrategy": "mor",
+                                 "morCompactThreshold": 2}},
+    }]}}
+    run_job(spark, spec)
+    t = SnapshotTable.load(spark, loc)
+    assert all(n < 2 for n in t.delta_counts().values())
+    got = (
+        t.snapshot()
+        .select("repo", "path", F.sha2(F.col("content"), 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(os.path.join(wal_fixture.expected_dir, "final_hashes.parquet"))
+        [["repo", "path", "content_sha256"]]
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+    bad = {"job": {"content": [{
+        "reader": spec["job"]["content"][0]["reader"],
+        "writer": {"name": "snapshotwriter",
+                   "parameter": {"path": loc, "checkpoint": str(tmp_path / "ck2"),
+                                 "mergeStrategy": "merge-on-read"}},
+    }]}}
+    with pytest.raises(JobConfigError, match="mergeStrategy"):
+        run_job(spark, bad)
+
+
+def test_batch_job_spec_mor_strategy(spark, tmp_path):
+    """Batch snapshotwriter honors mergeStrategy: mor — repeated runs
+    land deltas, cross the threshold, compact, and the final state
+    matches the same spec run under cow."""
+    import pandas as pd
+
+    from datax_spark.table import SnapshotTable
+
+    src = str(tmp_path / "src")
+    pd.DataFrame(
+        {"repo": ["r"] * 4, "path": [f"p{i}" for i in range(4)],
+         "content": [f"c{i}" for i in range(4)],
+         "lsn": [1, 2, 3, 4], "op": ["U"] * 4}
+    ).to_parquet(src + ".parquet")
+
+    def spec(loc, strategy, batch_id):
+        return {"job": {"content": [{
+            "reader": {"name": "parquetreader", "parameter": {"path": src + ".parquet"}},
+            "writer": {"name": "snapshotwriter",
+                       "parameter": {"path": loc, "upsertKey": ["repo", "path"],
+                                     "numBuckets": 4, "batchId": batch_id,
+                                     "mergeStrategy": strategy,
+                                     "morCompactThreshold": 2}},
+        }]}}
+
+    for strategy in ("cow", "mor"):
+        loc = str(tmp_path / strategy)
+        for b in range(3):
+            run_job(spark, spec(loc, strategy, f"b{b}"))
+        # identical content (batch b re-lands the same rows; ledger
+        # makes b1/b2 no-ops under distinct ids only if ids repeat —
+        # here ids differ so LWW ties resolve to first applied)
+    cow = SnapshotTable.load(spark, str(tmp_path / "cow"))
+    mor = SnapshotTable.load(spark, str(tmp_path / "mor"))
+    a = sorted((r["repo"], r["path"], r["content"]) for r in cow.snapshot().collect())
+    b = sorted((r["repo"], r["path"], r["content"]) for r in mor.snapshot().collect())
+    assert a == b
+    assert all(n < 2 for n in mor.delta_counts().values())

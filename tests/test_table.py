@@ -605,3 +605,36 @@ def test_merge_rejects_wrong_affected_buckets(spark, tmp_path):
     # correct set (or None → self-derived) still works
     t.merge(batch("b", 50, 100), batch_id="b2")
     assert t.snapshot().count() == before + 50
+
+
+def test_purge_tombstones_rewrites_only_affected_buckets(spark, tmp_path):
+    """r5: purge after a localized delete wave costs O(affected
+    buckets) — untouched buckets' manifest pointers are carried
+    forward verbatim, purged_buckets is recorded, and a purge with
+    nothing to drop is a skipped no-op commit."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_cols=["repo", "path"], num_buckets=8
+    )
+    rows = [(i + 1, "U", "r", f"p{i}", f"c{i}") for i in range(40)]
+    t.merge(_batch(spark, rows), batch_id="load")
+    # delete ONE key → exactly one bucket holds a tombstone
+    t.merge(_batch(spark, [(100, "D", "r", "p7", None)]), batch_id="del")
+    man_before = dict(t.current()["manifest"])
+
+    ci = t.purge_tombstones()
+    assert not ci.skipped
+    rec = t.current()
+    purged = rec["metrics"]["purged_buckets"]
+    assert len(purged) == 1
+    for b, entry in man_before.items():
+        if int(b) in purged:
+            assert rec["manifest"][b] != entry  # rewritten
+        else:
+            assert rec["manifest"][b] == entry  # carried by pointer
+    assert t.snapshot(include_meta=True).filter("_tombstone").count() == 0
+    assert len(_state(t)) == 39
+
+    # nothing left to purge → skipped, no new version
+    v = t.current()["version"]
+    assert t.purge_tombstones().skipped
+    assert t.current()["version"] == v
