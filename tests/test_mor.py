@@ -355,3 +355,52 @@ def test_compaction_loses_race_to_concurrent_mor_writer(spark, tmp_path):
     assert ("r1", "a.py", "late") in _state(t2)
     # the loser's orphan dir is reclaimable
     assert any(d for d in t2.vacuum())
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _op_stream(draw):
+    """A random change stream over a small key space, pre-split into
+    1–4 batches, with a per-batch strategy and a random set of
+    compaction points — the full space of cow/mor/compact
+    interleavings."""
+    n_events = draw(st.integers(2, 18))
+    events = []
+    for lsn in range(1, n_events + 1):
+        k = draw(st.integers(0, 5))
+        op = draw(st.sampled_from(["U", "U", "I", "D"]))
+        events.append((lsn, op, "r", f"p{k}",
+                       None if op == "D" else f"v{lsn}"))
+    n_batches = draw(st.integers(1, min(4, n_events)))
+    cuts = sorted(draw(st.sets(st.integers(1, n_events - 1),
+                               min_size=n_batches - 1, max_size=n_batches - 1)))
+    bounds = [0] + cuts + [n_events]
+    batches = [events[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    strategies = [draw(st.sampled_from(["cow", "mor"])) for _ in batches]
+    compact_after = [draw(st.booleans()) for _ in batches]
+    return batches, strategies, compact_after
+
+
+@given(_op_stream())
+@settings(max_examples=12, deadline=None)
+def test_property_any_interleaving_equals_cow(spark, tmp_path_factory, case):
+    """Property over random op streams: ANY per-batch cow/mor choice
+    with ANY compaction points folds to the pure-COW state — snapshot
+    AND tombstone internals."""
+    batches, strategies, compact_after = case
+    root = tmp_path_factory.mktemp("morprop")
+    ref = _mk(spark, str(root / "ref"))
+    t = _mk(spark, str(root / "t"))
+    for i, rows in enumerate(batches):
+        ref.merge(_batch(spark, rows), batch_id=f"b{i}")
+        t.merge(_batch(spark, rows), batch_id=f"b{i}", strategy=strategies[i])
+        if compact_after[i]:
+            t.compact_buckets()
+    meta = lambda x: sorted(  # noqa: E731
+        (r["repo"], r["path"], r["_lsn"], bool(r["_tombstone"]))
+        for r in x.snapshot(include_meta=True).collect()
+    )
+    assert _state(t) == _state(ref)
+    assert meta(t) == meta(ref)
