@@ -2174,6 +2174,80 @@ def code_license_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "code_winnow_clone_pairs",
+    f"""
+WITH {_CODE_CORPUS_SQL},
+norm AS (SELECT doc_id, regexp_replace(lower(content), '\\s+', ' ', 'g') AS c,
+                length(regexp_replace(lower(content), '\\s+', ' ', 'g')) - 15 AS n
+         FROM code),
+grams AS (
+  SELECT doc_id, n, pos,
+         substr(sha256(substr(c, CAST(pos AS INT), 16)), 1, 12) AS h
+  FROM norm, unnest(range(1, n + 1)) AS t(pos)
+  WHERE n >= 8),
+wins AS (
+  SELECT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fingerprint,
+         pos, n
+  FROM grams),
+ex AS (
+  SELECT DISTINCT doc_id, fingerprint FROM wins WHERE pos <= n - 7
+  UNION
+  SELECT DISTINCT doc_id, substr(sha256(c), 1, 12) AS fingerprint
+  FROM norm WHERE n < 8),
+capped AS (
+  SELECT * FROM ex
+  WHERE fingerprint IN (
+    SELECT fingerprint FROM ex GROUP BY fingerprint HAVING count(*) <= 20)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM capped a JOIN capped b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 3
+""",
+    demoted=True,
+)
+def code_winnow_clone_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing clone detection
+    (codeops.winnow_fingerprint_rows, Schleimer et al. SIGMOD 2003):
+    any shared run of ≥ k+w-1 = 23 normalized chars guarantees a
+    shared fingerprint, so clone candidates come from a
+    fingerprint-keyed equi-join — never an all-pairs comparison.
+    Boilerplate fingerprints shared by > 20 docs are df-capped exactly
+    like hot MinHash bands (license headers, generated preambles), and
+    pairs must share ≥ 3 surviving fingerprints. One sha256 per gram
+    (explode + sliding-window min, one doc-keyed shuffle); the rest is
+    the df-count groupBy and the uniform fingerprint-keyed join."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = _code_corpus(docs)
+    ex = codeops.winnow_fingerprint_rows(corpus, "content", "doc_id")
+    keep = (
+        ex.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 20)
+        .select("fingerprint")
+    )
+    capped = ex.join(keep, "fingerprint")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select("doc_a", "doc_b", "shared")
+    )
+
+
+@query(
     "code_comment_density",
     f"""
 WITH {_CODE_CORPUS_SQL},
