@@ -142,3 +142,51 @@ def test_semantic_dedup_no_unbroadcast_cartesian(spark):
     p = plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the bounded centroid pass
+
+
+def test_winnow_pairs_no_cartesian_one_sha_per_gram(spark):
+    """Winnowing (r5): the fingerprint join must be equi-keyed (never
+    a cartesian/NLJ), and the gram hash must be computed ONCE per gram
+    — the sliding min is a Window frame over exploded gram rows (the
+    rejected HOF-array formulation put sha inside a transform lambda,
+    re-evaluated per window: pinned absent as no lambda function
+    anywhere in the plan)."""
+    p = plan(spark, "code_winnow_clone_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    assert "lambdafunction" not in p.lower()  # no per-window re-hash HOFs
+
+
+def test_mor_fold_absent_on_pure_cow_reads(spark, tmp_path):
+    """The MOR read fold must cost pure-COW tables NOTHING: snapshot()
+    of a table with no deltas plans as scan+filter (no aggregate, no
+    input_file_name), while a table holding deltas plans the
+    LWW fold (max_by aggregate keyed on the table key)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from datax_spark.table import SnapshotTable
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ])
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), schema, key_cols=["repo", "path"], num_buckets=2
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame([(1, "U", "r", "p", "c")],
+                     columns=["lsn", "op", "repo", "path", "content"]),
+        schema="lsn long, op string, repo string, path string, content string",
+    )
+    t.merge(b, batch_id="cow")
+    p_cow = t.snapshot()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "max_by" not in p_cow and "input_file_name" not in p_cow
+    assert "HashAggregate" not in p_cow and "SortAggregate" not in p_cow
+
+    t.merge(b.withColumn("lsn", b.lsn + 1), batch_id="mor", strategy="mor")
+    p_mor = t.snapshot()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "max_by" in p_mor and "input_file_name" in p_mor
