@@ -24,7 +24,11 @@ Scale shape of add_batch (N = corpus, B = batch, B << N):
   * pair math: only pairs with ≥1 batch member — O(B·dup_rate), never
     O(N²) and never even O(N log N) per batch;
   * signature MERGE: bucketed copy-on-write costed by batch size
-    (SnapshotTable.merge rewrites only affected buckets).
+    (SnapshotTable.merge rewrites only affected buckets) — or, with
+    merge_strategy='mor' on the index, an O(batch) merge-on-read delta
+    commit with inline per-hot-bucket compaction: the right mode when
+    batches are small and doc_ids spread across every bucket (the
+    usual case, since ids hash uniformly).
 
 Equivalence invariant (pytest-pinned): feeding a corpus in ANY batch
 split and unioning each add_batch's pairs equals minhash_lsh_pairs on
@@ -37,16 +41,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .table import SnapshotTable
+from .table import CommitInfo, SnapshotTable
 from .textops import band_buckets, minhash_band_minima
 
 
+def _merged(
+    table: SnapshotTable, batch: DataFrame, batch_id: str | None,
+    strategy: str, threshold: int,
+) -> CommitInfo:
+    """Index-table merge honoring the owner's merge strategy. Index
+    adds are exactly MOR's shape — small frequent batches whose doc_ids
+    hash across every bucket, so each COW add rewrites ~the whole
+    signature table while MOR writes O(batch) deltas; the same inline
+    per-hot-bucket compaction policy as CDCEngine bounds read
+    amplification."""
+    ci = table.merge(batch, batch_id=batch_id, strategy=strategy)
+    if strategy == "mor" and not ci.skipped:
+        hot = [b for b, n in table.delta_counts().items() if n >= threshold]
+        if hot:
+            table.compact_buckets(buckets=hot)
+    return ci
+
+
 class MinHashIndex:
+    # 'mor' turns every signature/cluster merge into an O(batch) delta
+    # commit (see _merged) — flip on the instance after create()/load().
+    merge_strategy: str = "cow"
+    mor_compact_threshold: int = 8
+
     def __init__(self, table: SnapshotTable, n_bands: int, k: int, stride: int):
         self.table = table
         self.n_bands = n_bands
         self.k = k
         self.stride = stride
+
+    def _merge(self, batch: DataFrame, batch_id: str | None) -> CommitInfo:
+        return _merged(self.table, batch, batch_id,
+                       self.merge_strategy, self.mor_compact_threshold)
 
     # ---------- lifecycle ----------
 
@@ -175,10 +206,10 @@ class MinHashIndex:
         pairs = pairs.localCheckpoint(eager=True)
 
         lsn = self.table.current()["version"] + 1
-        self.table.merge(
+        self._merge(
             sigs.withColumn("lsn", F.lit(lsn).cast("long"))
             .withColumn("op", F.lit("U")),
-            batch_id=batch_id,
+            batch_id,
         )
         return pairs
 
@@ -189,7 +220,7 @@ class MinHashIndex:
         batch = ids.select("doc_id").withColumn("lsn", F.lit(lsn).cast("long")).withColumn(
             "op", F.lit("D")
         )
-        self.table.merge(batch, batch_id=batch_id)
+        self._merge(batch, batch_id)
 
 
 def _parse_simple(name: str) -> T.DataType:
@@ -335,6 +366,14 @@ class ClusterTable:
     the table is untouched. Without edge tracking, removal would need
     the upstream pair generator to replay the whole corpus."""
 
+    merge_strategy: str = "cow"
+    mor_compact_threshold: int = 8
+
+    def _merge(self, table: SnapshotTable, batch: DataFrame,
+               batch_id: str | None) -> CommitInfo:
+        return _merged(table, batch, batch_id,
+                       self.merge_strategy, self.mor_compact_threshold)
+
     def __init__(self, table: SnapshotTable, edges: SnapshotTable | None = None):
         self.table = table
         self.edges = edges
@@ -398,10 +437,11 @@ class ClusterTable:
             # merges replays into an edge-ledger no-op + the missing
             # assignments merge.
             elsn = self.edges.current()["version"] + 1
-            self.edges.merge(
+            self._merge(
+                self.edges,
                 edges.withColumn("lsn", F.lit(elsn).cast("long"))
                 .withColumn("op", F.lit("U")),
-                batch_id=batch_id,
+                batch_id,
             )
         labels = self.assignments()
         touched = (
@@ -423,10 +463,11 @@ class ClusterTable:
         )
         new_labels = connected_components(sub_edges).localCheckpoint(eager=True)
         lsn = self.table.current()["version"] + 1
-        self.table.merge(
+        self._merge(
+            self.table,
             new_labels.withColumn("lsn", F.lit(lsn).cast("long"))
             .withColumn("op", F.lit("U")),
-            batch_id=batch_id,
+            batch_id,
         )
 
     def remove_docs(self, ids: DataFrame, batch_id: str | None = None) -> None:
@@ -499,15 +540,17 @@ class ClusterTable:
             .localCheckpoint(eager=True)
         )
         elsn = self.edges.current()["version"] + 1
-        self.edges.merge(
+        self._merge(
+            self.edges,
             dead_edges.withColumn("lsn", F.lit(elsn).cast("long"))
             .withColumn("op", F.lit("D")),
-            batch_id=batch_id,
+            batch_id,
         )
         lsn = self.table.current()["version"] + 1
-        self.table.merge(
+        self._merge(
+            self.table,
             assign_batch.withColumn("lsn", F.lit(lsn).cast("long")),
-            batch_id=batch_id,
+            batch_id,
         )
 
 
@@ -532,12 +575,19 @@ class EmbeddingLSHIndex:
     up front (size_lsh_planes(expected_N)); that is the real
     operational contract of every production ANN index."""
 
+    merge_strategy: str = "cow"
+    mor_compact_threshold: int = 8
+
     def __init__(self, table: SnapshotTable, n_bands: int, planes_per_band: int,
                  n_dims: int):
         self.table = table
         self.n_bands = n_bands
         self.planes_per_band = planes_per_band
         self.n_dims = n_dims
+
+    def _merge(self, batch: DataFrame, batch_id: str | None) -> CommitInfo:
+        return _merged(self.table, batch, batch_id,
+                       self.merge_strategy, self.mor_compact_threshold)
 
     @classmethod
     def create(
@@ -602,7 +652,7 @@ class EmbeddingLSHIndex:
             .withColumn("lsn", F.lit(lsn).cast("long"))
             .withColumn("op", F.lit("D"))
         )
-        self.table.merge(batch, batch_id=batch_id)
+        self._merge(batch, batch_id)
 
     def _sig_frame(self, df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         from .simsearch import as_double, l2_norm, lsh_band_bucket
@@ -682,8 +732,8 @@ class EmbeddingLSHIndex:
             .localCheckpoint(eager=True)
         )
         lsn = self.table.current()["version"] + 1
-        self.table.merge(
+        self._merge(
             sigs.withColumn("lsn", F.lit(lsn).cast("long")).withColumn("op", F.lit("U")),
-            batch_id=batch_id,
+            batch_id,
         )
         return pairs

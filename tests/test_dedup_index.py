@@ -464,3 +464,35 @@ def test_cluster_remove_unknown_and_whole_cluster(spark, tmp_path):
     ct.remove_docs(_ids(spark, [7, 8]), batch_id="r1")
     assert _assign(ct) == {1: 1, 2: 1}
     assert ct.edges.snapshot().count() == 1  # only (1,2) survives
+
+
+def test_mor_index_equals_full_recompute_and_exactly_once(spark, docs, full_pairs, tmp_path):
+    """merge_strategy='mor' on the index (r5): every signature merge
+    is an O(batch) delta commit with inline per-hot-bucket compaction,
+    and the pair union over any split STILL equals the one-shot
+    recompute; redelivery stays a no-op and removal tombstones flow
+    through the delta path."""
+    idx = MinHashIndex.create(
+        spark, str(tmp_path / "idxm"), n_bands=4, k=8, stride=4
+    )
+    idx.merge_strategy = "mor"
+    idx.mor_compact_threshold = 2
+    got = set()
+    for b in range(3):
+        batch = docs.filter(F.col("doc_id") % 3 == b)
+        got |= _pairs_set(idx.add_batch(batch, batch_id=f"b{b}"))
+    assert got == full_pairs
+    assert idx.doc_count() == docs.count()
+    # inline compaction bounded the deltas
+    assert all(n < 2 for n in idx.table.delta_counts().values())
+    # replay no-op through the delta path: no new docs, no new deltas
+    n = idx.doc_count()
+    deltas_before = idx.table.delta_counts()
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), batch_id="b0")
+    assert idx.doc_count() == n
+    assert idx.table.delta_counts() == deltas_before
+    # removal tombstones via deltas: removed docs stop matching
+    some = docs.limit(5).select("doc_id")
+    idx.remove_docs(some, batch_id="rm")
+    left = idx.signatures().join(some, "doc_id", "left_semi").count()
+    assert left == 0
