@@ -537,6 +537,13 @@ def run_mor_vs_cow(
         checksums["cow"]["c"] == checksums["mor"]["c"]
         and checksums["cow"]["n"] == checksums["mor"]["n"]
     )
+    if not out["states_equal"]:
+        # fail the RUN, not just a JSON field: write-amplification
+        # numbers from two tables holding different data are meaningless
+        raise RuntimeError(
+            f"mor_vs_cow: final states diverged — cow {checksums['cow']} "
+            f"vs mor {checksums['mor']}"
+        )
     spark.stop()
     import shutil
 

@@ -57,9 +57,7 @@ def _merged(
     amplification."""
     ci = table.merge(batch, batch_id=batch_id, strategy=strategy)
     if strategy == "mor" and not ci.skipped:
-        hot = [b for b, n in table.delta_counts().items() if n >= threshold]
-        if hot:
-            table.compact_buckets(buckets=hot)
+        table.compact_hot_buckets(threshold)
     return ci
 
 

@@ -150,6 +150,16 @@ def sync_derived_agg(
     Integer sums/counts match EXACTLY; float sums accumulate the usual
     re-association drift and should be rounded downstream.
 
+    NULL semantics of ("sum", col): the maintained value is
+    sum(coalesce(col, 0)) — NULL inputs contribute 0, and a live group
+    whose inputs are all NULL holds 0, not NULL. This is forced by
+    delta maintenance (a retraction of an unknown NULL-ness cannot be
+    distinguished from retracting 0 without per-group recount) and is
+    applied IDENTICALLY in the incremental and full-resync paths, so
+    the equality invariant holds. Consumers needing ANSI sum-NULL
+    semantics should pair the sum with a non-null count and read
+    CASE WHEN nn = 0 THEN NULL ELSE s END.
+
     Exactly-once and watermarking ride the same machinery as
     sync_derived: batch id from the (from, to) version range, derived
     lsn = source version, watermark in commit metrics folded into the
@@ -184,7 +194,11 @@ def sync_derived_agg(
             if spec[0] == "count":
                 out.append(F.count(F.lit(1)).cast("long").alias(name))
             else:
-                out.append(F.sum(F.col(spec[1])).alias(name))
+                # coalesce BEFORE summing — the documented NULL
+                # semantics, and the exact expression the incremental
+                # path's ±contributions decompose (plain sum() would
+                # yield NULL for an all-NULL group here but 0 there)
+                out.append(F.sum(F.coalesce(F.col(spec[1]), F.lit(0))).alias(name))
         return out
 
     full = last is None

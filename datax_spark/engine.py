@@ -245,17 +245,11 @@ class CDCEngine:
             strategy=self.merge_strategy,
         )
         if self.merge_strategy == "mor" and not ci.skipped:
-            # Inline compaction policy: fold only the buckets whose
-            # delta count crossed the read-amplification budget. A
-            # separate commit with no batch id — exactly-once state is
-            # untouched, and a crash between merge and compaction just
-            # leaves the deltas for the next batch's check.
-            hot = [
-                b for b, n in self.table.delta_counts().items()
-                if n >= self.mor_compact_threshold
-            ]
-            if hot:
-                self.table.compact_buckets(buckets=hot)
+            # Inline compaction (shared policy, table.compact_hot_
+            # buckets): a separate commit with no batch id — exactly-
+            # once state is untouched, and a crash between merge and
+            # compaction just leaves the deltas for the next check.
+            self.table.compact_hot_buckets(self.mor_compact_threshold)
         wall = time.monotonic() - t0
         # metrics were not known before merge; patching rows/sec into
         # the already-atomic commit is NOT allowed — instead we record
@@ -570,11 +564,27 @@ class CDCEngine:
         # accept_legacy_batch_ids=True for exactly one resume of such a
         # table; leave it off otherwise — the legacy id is ambiguous
         # across streams (that ambiguity is WHY the format changed).
+        # The flag is additionally scoped to a RESUMED checkpoint,
+        # decided ONCE here before the stream starts: with a fresh
+        # checkpoint the epoch counter restarts at 0, so legacy ids
+        # from some OLD stream would match the new stream's first
+        # epochs and silently drop genuinely new data. A checkpoint
+        # directory that does not exist yet cannot be a legacy resume.
         ckpt_tag = _checkpoint_tag(checkpoint_dir)
+        legacy_ok = accept_legacy_batch_ids and os.path.isdir(checkpoint_dir)
+        if accept_legacy_batch_ids and not legacy_ok:
+            import warnings
+
+            warnings.warn(
+                "accept_legacy_batch_ids=True with a FRESH checkpoint is "
+                "ignored (legacy ids only disambiguate a resumed pre-r4 "
+                "checkpoint; against a new one they would skip new data)",
+                stacklevel=2,
+            )
 
         def _apply(df: DataFrame, epoch_id: int) -> None:
             if (
-                accept_legacy_batch_ids
+                legacy_ok
                 and f"stream-{epoch_id}" in self.table.committed_batch_ids()
             ):
                 cur = self.table.current()

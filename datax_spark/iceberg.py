@@ -93,6 +93,18 @@ def compact_sql(identifier: str, target_file_size_bytes: int | None = None) -> s
     return f"CALL {catalog}.system.rewrite_data_files({opts})"
 
 
+def expire_snapshots_sql(identifier: str, older_than: str) -> str:
+    """The raw expiry call — only ever issued via
+    IcebergTable.expire_snapshots, which compacts the batch-id ledger
+    first (per-snapshot summaries carry ledger DELTAS; expiring them
+    un-compacted would break exactly-once)."""
+    catalog, _, _ = identifier.partition(".")
+    return (
+        f"CALL {catalog}.system.expire_snapshots("
+        f"table => '{identifier}', older_than => TIMESTAMP '{older_than}')"
+    )
+
+
 def merge_sql(
     identifier: str,
     data_cols: list[str],
@@ -240,6 +252,21 @@ class IcebergTable:
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
             f"('{BATCH_LEDGER_BASE_PROP}'='{ledger}')"
         )
+
+    def expire_snapshots(self, older_than: str) -> None:
+        """Snapshot expiry THROUGH the ledger guard: compacts the
+        batch-id ledger into the table-property base FIRST, then calls
+        Iceberg's expire_snapshots procedure. This ordering is the
+        exactly-once invariant — per-snapshot summaries carry only
+        ledger DELTAS (see committed_batch_ids), so running the raw
+        `CALL <catalog>.system.expire_snapshots(...)` procedure
+        without compacting first silently drops the expired snapshots'
+        batch ids and a redelivery re-applies. Operators must use this
+        method (or run compact_ledger() themselves) instead of the raw
+        procedure; same rule SnapshotTable.expire_snapshots enforces
+        automatically."""
+        self.compact_ledger()
+        self.spark.sql(expire_snapshots_sql(self.identifier, older_than))
 
     def lineage(self) -> list[dict]:
         rows = []

@@ -511,14 +511,10 @@ def _write_snapshot(spark: SparkSession, df: DataFrame, p: dict, result: JobResu
     if strategy not in ("cow", "mor"):
         raise JobConfigError(f"snapshotwriter mergeStrategy {strategy!r}")
     result.commit = table.merge(df, batch_id=p.get("batchId"), strategy=strategy)
-    if strategy == "mor":
-        # Same inline policy as CDCEngine: fold only the buckets whose
-        # delta count crossed the threshold (a separate ledger-less
-        # commit — rerunning after a crash here just re-checks).
-        thr = int(p.get("morCompactThreshold", 8))
-        hot = [b for b, n in table.delta_counts().items() if n >= thr]
-        if hot:
-            table.compact_buckets(buckets=hot)
+    if strategy == "mor" and not result.commit.skipped:
+        # Shared inline policy (table.compact_hot_buckets); skipped
+        # exactly-once replays trigger no compaction commit.
+        table.compact_hot_buckets(int(p.get("morCompactThreshold", 8)))
 
 
 def _write_dedup_index(spark: SparkSession, df: DataFrame, p: dict, result: JobResult) -> None:

@@ -2177,8 +2177,8 @@ def code_license_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     "code_winnow_clone_pairs",
     f"""
 WITH {_CODE_CORPUS_SQL},
-norm AS (SELECT doc_id, regexp_replace(lower(content), '\\s+', ' ', 'g') AS c,
-                length(regexp_replace(lower(content), '\\s+', ' ', 'g')) - 15 AS n
+norm AS (SELECT doc_id, regexp_replace(lower(coalesce(content, '')), '\\s+', ' ', 'g') AS c,
+                length(regexp_replace(lower(coalesce(content, '')), '\\s+', ' ', 'g')) - 15 AS n
          FROM code),
 grams AS (
   SELECT doc_id, n, pos,

@@ -243,11 +243,16 @@ class SnapshotTable:
         self._ledger_cache = (rel, base)
         return base
 
-    def committed_batch_ids(self) -> set[str]:
-        cur = self.current()
-        return set(self._load_ledger_base(cur)["batch_ids"]) | set(
-            self._ledger_tail_of(cur)
+    def _committed_ids(self, commit: dict) -> set[str]:
+        """Ledger membership as of one commit record (base ∪ tail) —
+        the single definition of exactly-once identity, shared by the
+        public reader and merge()'s pre-write duplicate check."""
+        return set(self._load_ledger_base(commit)["batch_ids"]) | set(
+            self._ledger_tail_of(commit)
         )
+
+    def committed_batch_ids(self) -> set[str]:
+        return self._committed_ids(self.current())
 
     def ledger_summary(self) -> dict:
         """Current ledger view folded up to the latest commit:
@@ -435,6 +440,17 @@ class SnapshotTable:
         }
         self._write_commit(v, rec)
         return CommitInfo(v, rec["snapshot_id"], None)
+
+    def compact_hot_buckets(self, threshold: int) -> CommitInfo | None:
+        """The shared inline-compaction policy (engine apply_batch,
+        job-spec snapshotwriter, dedup indexes all call this): fold
+        ONLY the buckets whose MOR delta count reached `threshold`.
+        Returns the compaction's CommitInfo, or None when no bucket is
+        hot. One place to evolve the policy."""
+        hot = [b for b, n in self.delta_counts().items() if n >= threshold]
+        if not hot:
+            return None
+        return self.compact_buckets(buckets=hot)
 
     def delta_counts(self) -> dict[int, int]:
         """Bucket → live MOR delta-file-set count in the current
@@ -956,9 +972,7 @@ class SnapshotTable:
           WHEN NOT MATCHED THEN INSERT (*, _tombstone=false)
         """
         cur = self.current()
-        if batch_id is not None and batch_id in (
-            set(self._load_ledger_base(cur)["batch_ids"]) | set(self._ledger_tail_of(cur))
-        ):
+        if batch_id is not None and batch_id in self._committed_ids(cur):
             return CommitInfo(cur["version"], cur["snapshot_id"], batch_id, skipped=True)
 
         schema = T.StructType.fromJson(cur["schema"])

@@ -20,10 +20,17 @@ Cluster usage:
         [--archive-wal /data/wal [--archive-dir /cold/wal]]
 
 Prints ONE JSON line of what each step did. Every step is an
-independent transactional commit (or pure file operation), safe to
-re-run, and safe beside a LIVE streaming writer except rebucket
-(single-writer assumption documented on the method); compact-deltas
-losing a commit race to the tail raises — rerun the job.
+independent transactional commit (or pure file operation) and safe to
+RE-RUN. Concurrency contract: run maintenance from a single owner.
+Beside a LIVE streaming writer, commit-writing steps (compact-deltas,
+purge, compact-ledger, expire, rebucket) ride the same atomic version
+claim as merge — losing the race raises ConcurrentCommitError and a
+rerun is safe — but --vacuum must NOT run concurrently with an
+in-flight merge: vacuum deletes dirs unreferenced by any retained
+snapshot, and a merge's data dir is exactly that in the window between
+its write and its commit rename. Pause the tail (or schedule vacuum in
+its trigger gaps) for the vacuum step; --archive-wal alone is
+unconditionally safe (the checkpoint ignores retired files).
 """
 
 from __future__ import annotations
@@ -72,10 +79,13 @@ def main(argv: list[str] | None = None) -> int:
     report: dict = {"table": args.table, "version_before": table.current()["version"]}
 
     if args.compact_deltas:
-        before = table.delta_counts()
         ci = table.compact_buckets(min_deltas=args.min_deltas)
         report["compact_deltas"] = {
-            "buckets": sorted(before), "skipped": ci.skipped,
+            # what was ACTUALLY compacted — from the commit record, so
+            # min_deltas filtering and the nothing-hot skip report true
+            "buckets": [] if ci.skipped
+            else table.current()["metrics"].get("compact_buckets", []),
+            "skipped": ci.skipped,
             "remaining": table.delta_counts(),
         }
     if args.purge_tombstones_before_lsn is not None:

@@ -300,3 +300,34 @@ def test_agg_rejects_non_decomposable_aggregates(spark, tmp_path):
         sync_derived_agg(src, dst, {"m": ("sum", "score")})
     with pytest.raises(ValueError, match="delta-maintainable"):
         sync_derived_agg(src, dst, {"n": ("count",), "m": ("max", "score")})
+
+
+def test_agg_null_sum_semantics_identical_across_paths(spark, tmp_path):
+    """A live group whose summed inputs are all NULL holds 0 (the
+    documented sum(coalesce(x,0)) semantics) — IDENTICALLY from the
+    incremental path and from a fresh full resync, so the equality
+    invariant survives NULL inputs (review finding r5: plain sum()
+    in the full path yielded NULL where the delta path held 0)."""
+    from datax_spark.derived import sync_derived_agg
+
+    src, dst = _agg_tables(spark, tmp_path, "nullsum")
+    # group 'n': both rows carry NULL score; group 'a': mixed
+    _merge(spark, src, [(1, "nx", None, "U"), (2, "ny", None, "U"),
+                        (3, "ax", 7, "U"), (4, "ay", None, "U")], 100, "b1")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    got = {r["grp"]: (r["n_docs"], r["sum_score"]) for r in dst.snapshot().collect()}
+    assert got["n"] == (2, 0)  # not NULL
+    assert got["a"] == (2, 7)
+
+    # a fresh destination syncing the same source ONCE (full path)
+    # must agree byte-for-byte
+    _src2, dst2 = _agg_tables(spark, tmp_path, "nullsum_full")
+    sync_derived_agg(src, dst2, _AGGS, transform=_agg_transform)
+    got2 = {r["grp"]: (r["n_docs"], r["sum_score"]) for r in dst2.snapshot().collect()}
+    assert got2 == got
+
+    # retract one NULL row incrementally: count falls, sum stays 0
+    _merge(spark, src, [(1, "nx", 0, "D")], 200, "b2")
+    sync_derived_agg(src, dst, _AGGS, transform=_agg_transform)
+    got = {r["grp"]: (r["n_docs"], r["sum_score"]) for r in dst.snapshot().collect()}
+    assert got["n"] == (1, 0)

@@ -727,7 +727,11 @@ def test_legacy_stream_batch_ids_accepted_on_resume(spark, wal_fixture, tmp_path
         engine.apply_batch(spark.read.parquet(seg), batch_id=f"stream-{i}")
     v_before = t.current()["version"]
 
-    # a fresh-checkpoint resume WITH the legacy flag: every epoch skips
+    # resume of an EXISTING checkpoint with the legacy flag: every
+    # epoch skips. (The dir is pre-created to model the real legacy
+    # scenario — a pre-r4 checkpoint on disk; against a genuinely
+    # fresh checkpoint the flag is ignored, see the guard test below.)
+    os.makedirs(ckpt, exist_ok=True)
     seen = []
     q = engine.run_stream(
         wal_fixture.wal_dir, ckpt, max_files_per_trigger=1,
@@ -737,6 +741,26 @@ def test_legacy_stream_batch_ids_accepted_on_resume(spark, wal_fixture, tmp_path
     q.awaitTermination()
     assert seen and all(seen), seen
     assert t.current()["version"] == v_before  # nothing re-applied
+    pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
+
+    # Guard (review r5): the same flag against a FRESH checkpoint is
+    # IGNORED with a warning — epoch ids restart at 0 there, so legacy
+    # ids from an old stream would match the new stream's first epochs
+    # and silently drop genuinely new data. Batches must APPLY (they
+    # commit under new-format ids; content stays correct via LWW).
+    import warnings as _warnings
+
+    seen2 = []
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        q2 = engine.run_stream(
+            wal_fixture.wal_dir, str(tmp_path / "ckpt_fresh"),
+            max_files_per_trigger=1, accept_legacy_batch_ids=True,
+            on_batch=lambda ci, e: seen2.append(ci.skipped),
+        )
+        q2.awaitTermination()
+    assert any("FRESH checkpoint" in str(w.message) for w in caught)
+    assert seen2 and not any(seen2), seen2  # applied, not skipped
     pd.testing.assert_frame_equal(_hashes(t), _expected_hashes(wal_fixture))
 
 

@@ -161,3 +161,31 @@ def test_compact_sql_golden():
         "CALL cat.system.rewrite_data_files(table => 'cat.db.src', "
         "options => map('target-file-size-bytes', '536870912'))"
     )
+
+
+def test_expire_snapshots_sql_golden_and_ledger_guard():
+    """Expiry must flow through the ledger guard: the SQL builder is
+    golden-pinned, and IcebergTable.expire_snapshots compacts the
+    ledger BEFORE issuing the call (per-snapshot summaries carry only
+    ledger deltas — raw expiry would break exactly-once)."""
+    from datax_spark.iceberg import IcebergTable, expire_snapshots_sql
+
+    assert expire_snapshots_sql("cat.db.src", "2026-01-01 00:00:00") == (
+        "CALL cat.system.expire_snapshots(table => 'cat.db.src', "
+        "older_than => TIMESTAMP '2026-01-01 00:00:00')"
+    )
+
+    calls = []
+
+    t = IcebergTable.__new__(IcebergTable)
+    t.identifier = "cat.db.src"
+    t.compact_ledger = lambda: calls.append("compact")
+
+    class _Spark:
+        def sql(self, q):
+            calls.append(q)
+
+    t.spark = _Spark()
+    t.expire_snapshots("2026-01-01 00:00:00")
+    assert calls[0] == "compact"
+    assert "expire_snapshots" in calls[1]
