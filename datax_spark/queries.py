@@ -1378,6 +1378,77 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.exact_dedup(load(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_exact_substrings",
+    """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS c FROM documents),
+g AS (SELECT doc_id, pos,
+             substr(sha256(substr(c, CAST(pos AS INT), 40)), 1, 12) AS h
+      FROM d, unnest(range(1, length(c) - 40 + 2)) AS t(pos)
+      WHERE length(c) >= 40),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)),
+isl AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos, 1, -1000000000)
+                        OVER (PARTITION BY doc_id ORDER BY pos) > 40
+                    THEN 1 ELSE 0 END AS brk
+        FROM p),
+spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 39 AS e
+          FROM (SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl)
+          GROUP BY doc_id, island),
+segs AS (
+  SELECT d.doc_id,
+         coalesce(lag(sp.e) OVER (PARTITION BY d.doc_id ORDER BY sp.s), 0) + 1 AS ks,
+         sp.s - 1 AS ke, d.c
+  FROM d JOIN spans sp USING (doc_id)
+  UNION ALL
+  SELECT d.doc_id, coalesce(max(sp.e), 0) + 1 AS ks, length(d.c) AS ke, d.c
+  FROM d LEFT JOIN spans sp USING (doc_id) GROUP BY d.doc_id, d.c),
+kept AS (SELECT doc_id, ks, substr(c, CAST(ks AS INT), CAST(ke - ks + 1 AS INT)) AS seg
+         FROM segs WHERE ke >= ks),
+cleaned AS (SELECT doc_id, coalesce(string_agg(seg, '' ORDER BY ks), '') AS cl
+            FROM kept GROUP BY doc_id),
+nsp AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(length(d.c) - length(coalesce(cl.cl, '')) AS BIGINT) AS removed_chars,
+       substr(sha256(coalesce(cl.cl, '')), 1, 12) AS cleaned_sha
+FROM d LEFT JOIN cleaned cl USING (doc_id) LEFT JOIN nsp n USING (doc_id)
+""",
+    demoted=True,
+)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SUBSTRING dedup (textops.duplicate_spans +
+    cut_spans — the Lee et al. 2022 exact-substring recipe via L-gram
+    hashes instead of a suffix array): every cross-doc duplicated run
+    ≥ 40 chars is located exactly, merged into per-doc spans, and CUT
+    from the text. Returns one row per document: span count, removed
+    char count, and the sha of the surgically cleaned text — a
+    hash-exact full-surgery oracle, not just span coordinates."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = textops.duplicate_spans(docs, span_len=40, min_docs=2)
+    cleaned = textops.cut_spans(docs, spans)
+    nsp = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length(F.coalesce(F.col("text"), F.lit(""))).alias("_orig_len"),
+        )
+        .join(cleaned, "doc_id", "left")
+        .join(nsp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            (F.col("_orig_len") - F.length(F.coalesce(F.col("cleaned"), F.lit(""))))
+            .cast("long").alias("removed_chars"),
+            F.substring(F.sha2(F.coalesce(F.col("cleaned"), F.lit("")), 256), 1, 12)
+            .alias("cleaned_sha"),
+        )
+    )
+
+
 _STOPWORD_SQL = "['" + "','".join(textops.STOPWORDS) + "']"
 
 

@@ -355,6 +355,130 @@ def chunk_token_windows(
 
 # ------------------------------------------------------------ MinHash-LSH
 
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    span_len: int = 40, min_docs: int = 2,
+) -> DataFrame:
+    """EXACT duplicated-substring detection (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' exact-
+    substring recipe, re-expressed over hashes instead of a suffix
+    array): every duplicated run of ≥ span_len characters appearing in
+    ≥ min_docs documents is returned as merged per-document spans
+    (doc_id, span_start, span_end), 1-based inclusive.
+
+    Exactness argument: a cross-doc duplicated run of length ≥ L
+    contains a duplicated L-gram at EVERY offset, so hashing the
+    L-gram at every position and keeping positions whose hash occurs
+    in ≥ min_docs docs marks exactly the duplicated runs (sha256
+    12-hex prefix — collision odds negligible); consecutive marked
+    positions ≤ L apart merge into one span (gaps-and-islands).
+
+    Cost shape, stated honestly: one row PER CHARACTER of corpus
+    (explode) with one sha256 each, then one hash-keyed count shuffle
+    with map-side partial agg and one doc-keyed window — O(bytes)
+    rows, the same asymptotic bill the published suffix-array
+    implementations pay (they sort the bytes). Production levers: run
+    it AFTER the cheap dedups shrink the corpus, and/or raise
+    span_len."""
+    from pyspark.sql import Window
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    did = F.col(id_col)
+    L = span_len
+    n = F.length(c) - F.lit(L - 1)
+    grams = (
+        docs.select(did.alias("doc_id"), c.alias("_c"), n.alias("_n"))
+        .filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(F.sequence(F.lit(1), F.col("_n"))).alias("_i", "pos"),
+            F.col("_c"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.substring(
+                F.sha2(F.col("_c").substr(F.col("pos"), F.lit(L)), 256), 1, 12
+            ).alias("_h"),
+        )
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("_dd"))
+        .filter(F.col("_dd") >= min_docs)
+        .select("_h")
+    )
+    marked = grams.join(dup, "_h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos", 1, -(10**9)).over(w) > L, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        marked.withColumn("_brk", brk)
+        .withColumn("_island", F.sum("_brk").over(w))
+        .groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(L - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def cut_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the given character spans from each document — the
+    surgery half of exact-substring dedup. Returns (doc_id, cleaned):
+    docs without spans pass through whole; a fully-covered doc yields
+    ''. Kept SEGMENTS are materialized as rows (window lag over span
+    starts gives each segment's bounds, plus the per-doc tail), then
+    reassembled in order — every substring is computed exactly once
+    and both engines express it identically."""
+    from pyspark.sql import Window
+
+    d = docs.select(F.col(id_col).alias("doc_id"),
+                    F.coalesce(F.col(text_col), F.lit("")).alias("_c"))
+    w = Window.partitionBy("doc_id").orderBy("span_start")
+    mid = (
+        d.join(spans, "doc_id")
+        .select(
+            "doc_id", "_c",
+            (F.coalesce(F.lag("span_end", 1).over(w), F.lit(0)) + 1).alias("_ks"),
+            (F.col("span_start") - 1).alias("_ke"),
+        )
+    )
+    tail = (
+        d.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "_c")
+        .agg((F.coalesce(F.max("span_end"), F.lit(0)) + 1).alias("_ks"))
+        .select("doc_id", "_c", "_ks", F.length("_c").alias("_ke"))
+    )
+    kept = (
+        mid.unionByName(tail)
+        .filter(F.col("_ke") >= F.col("_ks"))
+        .select(
+            "doc_id", "_ks",
+            F.col("_c").substr(
+                F.col("_ks"), F.col("_ke") - F.col("_ks") + F.lit(1)
+            ).alias("_seg"),
+        )
+    )
+    glued = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ks", "_seg"))),
+                lambda x: x["_seg"],
+            ),
+            "",
+        ).alias("cleaned")
+    )
+    return (
+        d.join(glued, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"))
+    )
+
+
 def char_shingles(text_col: str | Column, k: int = 8, stride: int = 4) -> Column:
     """Character k-gram shingles at the given stride — array<string>.
     transform() over a sequence of start offsets; no explode yet."""

@@ -826,6 +826,8 @@ def test_mid_stream_rebucket_under_checkpointed_tail(spark, wal_fixture, tmp_pat
     from the same checkpoint: the remaining micro-batches merge into
     the NEW layout, the final state matches the sha oracle, the ledger
     survives, and point lookups prune to the new bucket count."""
+    import os
+
     from datax_spark.table import SnapshotTable
 
     reg = EpochRegistry.from_json(wal_fixture.schema_epochs_path)
@@ -834,7 +836,14 @@ def test_mid_stream_rebucket_under_checkpointed_tail(spark, wal_fixture, tmp_pat
         spark, wal_fixture.wal_dir, reg, loc, ckpt, num_buckets=4, stop_after_batches=2
     )
     ids_mid = t.committed_batch_ids()
-    assert len(ids_mid) == 2
+    # The kill is asynchronous (the poll loop requests stop after the
+    # 2nd on_batch): under host contention an extra micro-batch can
+    # slip in before it lands. The invariant is a genuine MID-stream
+    # kill — some batches applied, some segments still unapplied.
+    n_segments = len(
+        [f for f in os.listdir(wal_fixture.wal_dir) if f.endswith(".parquet")]
+    )
+    assert 2 <= len(ids_mid) < n_segments, ids_mid
 
     ci = t.rebucket(16)
     assert not ci.skipped and t.current()["num_buckets"] == 16
