@@ -82,3 +82,76 @@ def test_null_and_empty_text_pass_through(spark):
     assert spans.count() == 0
     got = {r["doc_id"]: r["cleaned"] for r in cut_spans(docs, spans).collect()}
     assert got == {1: "", 2: ""}
+
+
+from hypothesis import given, settings, strategies as st
+
+
+def _py_model(docs, L, min_docs=2):
+    """Pure-Python reference: positions whose L-gram occurs in >=
+    min_docs docs, merged into spans, then cut."""
+    from collections import defaultdict
+
+    gram_docs = defaultdict(set)
+    for did, text in docs:
+        t = text or ""
+        for i in range(len(t) - L + 1):
+            gram_docs[t[i:i + L]].add(did)
+    spans = {}
+    for did, text in docs:
+        t = text or ""
+        marked = [i for i in range(len(t) - L + 1)
+                  if len(gram_docs[t[i:i + L]]) >= min_docs]
+        merged = []
+        for p in marked:
+            if merged and p <= merged[-1][1] - L + 1 + L:  # p <= prev_pos + L
+                if p + L - 1 > merged[-1][1]:
+                    merged[-1] = (merged[-1][0], p + L - 1)
+            else:
+                merged.append((p, p + L - 1))
+        spans[did] = merged
+    cleaned = {}
+    for did, text in docs:
+        t = text or ""
+        out, prev = [], 0
+        for s, e in spans[did]:
+            out.append(t[prev:s])
+            prev = e + 1
+        out.append(t[prev:])
+        cleaned[did] = "".join(out)
+    return spans, cleaned
+
+
+@st.composite
+def _corpus(draw):
+    # tiny alphabet + short docs so duplicated runs actually arise;
+    # a shared motif is planted into a random subset
+    motif = draw(st.text(alphabet="ab", min_size=8, max_size=14))
+    docs = []
+    for i in range(draw(st.integers(2, 5))):
+        body = draw(st.text(alphabet="abc", min_size=0, max_size=25))
+        if draw(st.booleans()):
+            cut = draw(st.integers(0, len(body)))
+            body = body[:cut] + motif + body[cut:]
+        docs.append((i, body))
+    return docs
+
+
+@given(_corpus(), st.integers(4, 8))
+@settings(max_examples=10, deadline=None)
+def test_property_matches_python_model(spark, case, L):
+    docs, = (case,)
+    df = _df(spark, docs)
+    spans_df = duplicate_spans(df, span_len=L, min_docs=2)
+    got_spans = {}
+    for r in spans_df.collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"] - 1, r["span_end"] - 1)  # model is 0-based
+        )
+    exp_spans, exp_cleaned = _py_model(docs, L)
+    for did, _t in docs:
+        assert sorted(got_spans.get(did, [])) == exp_spans[did], (did, L)
+    got_cleaned = {
+        r["doc_id"]: r["cleaned"] for r in cut_spans(df, spans_df).collect()
+    }
+    assert got_cleaned == exp_cleaned

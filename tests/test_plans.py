@@ -190,3 +190,14 @@ def test_mor_fold_absent_on_pure_cow_reads(spark, tmp_path):
     p_mor = t.snapshot()._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "max_by" in p_mor and "input_file_name" in p_mor
+
+
+def test_exact_substring_dedup_plan_shape(spark):
+    """Exact-substring dedup (r5): the hash-df count must run with a
+    map-side partial phase (one row per corpus char collapses before
+    the shuffle), every join is equi-keyed, and no lambda-function
+    array pipeline sneaks in."""
+    p = plan(spark, "dedup_exact_substrings")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial" in p.lower()
