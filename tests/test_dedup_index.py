@@ -496,3 +496,37 @@ def test_mor_index_equals_full_recompute_and_exactly_once(spark, docs, full_pair
     idx.remove_docs(some, batch_id="rm")
     left = idx.signatures().join(some, "doc_id", "left_semi").count()
     assert left == 0
+
+
+def test_streaming_dedup_pipeline_mor(spark, docs, tmp_path):
+    """The streaming front-end under merge-on-read indexes: same final
+    clusters as the one-shot fold, delta counts bounded by the inline
+    compactor, idle re-run commits nothing."""
+    from datax_spark.dedup_index import ClusterTable, MinHashIndex, run_dedup_stream
+    from datax_spark.graph import connected_components
+
+    expected = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            minhash_lsh_pairs(docs, n_bands=4, k=8, stride=4)
+        ).collect()
+    }
+    src = str(tmp_path / "docs_src_m")
+    docs.repartition(4).write.parquet(src)
+    idx = MinHashIndex.create(spark, str(tmp_path / "mmh"), n_bands=4, k=8, stride=4)
+    ct = ClusterTable.create(spark, str(tmp_path / "mcl"))
+    for obj in (idx, ct):
+        obj.merge_strategy = "mor"
+        obj.mor_compact_threshold = 2
+    ckpt = str(tmp_path / "mckpt")
+    q = run_dedup_stream(spark, src, ckpt, idx, ct, max_files_per_trigger=1)
+    q.awaitTermination()
+    got = {r["doc_id"]: r["cluster_id"] for r in ct.assignments().collect()}
+    assert got == expected
+    assert all(n < 2 for n in idx.table.delta_counts().values())
+    assert all(n < 2 for n in ct.table.delta_counts().values())
+    v_idx, v_ct = idx.table.current()["version"], ct.table.current()["version"]
+    q2 = run_dedup_stream(spark, src, ckpt, idx, ct, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert idx.table.current()["version"] == v_idx
+    assert ct.table.current()["version"] == v_ct
